@@ -1,0 +1,80 @@
+"""Consistency / pseudo-label losses of the ARCO stage.
+
+- compute_unsupervised_loss: confidence-weighted CE on pseudo-labels
+  (train_arco_2d.py:482-489)
+- revisiting_loss: nearest-neighbor loss against the random pool
+  (train_arco_2d.py:126-136)
+- equivariance_loss: masked KL between predictions of TPS-warped images and
+  TPS-warped predictions (train_arco_2d.py:404-423)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from arco_tpu.losses.supervised import cross_entropy
+
+
+def compute_unsupervised_loss(predict, target, logits, strong_threshold):
+    """Confidence-weighted CE (train_arco_2d.py:482-489).
+
+    predict: [B, ..., K] logits; target: [B, ...] int pseudo-labels (-1 =
+    void); logits: [B, ...] pseudo-label confidences.
+    weighting_b = #(conf >= tau) / #(valid) per sample; loss = mean over
+    strictly-positive CE entries of weighting * CE.
+    """
+    b = predict.shape[0]
+    valid_mask = (target >= 0).astype(jnp.float32)
+    strong = (logits.reshape(b, -1) >= strong_threshold).sum(-1)
+    weighting = strong / jnp.maximum(valid_mask.reshape(b, -1).sum(-1), 1e-12)
+    loss = cross_entropy(predict, target, ignore_index=-1, reduction="none")
+    w = weighting.reshape((b,) + (1,) * (loss.ndim - 1))
+    pos = (loss > 0).astype(jnp.float32)
+    return jnp.sum(w * loss * pos) / jnp.maximum(jnp.sum(pos), 1)
+
+
+def revisiting_loss(random_pool, rep_u, rep_u_teacher, topk: int = 5):
+    """NN 'revisiting' loss (train_arco_2d.py:126-136).
+
+    random_pool: [K, F] (rows already L2-normalized);
+    rep_u / rep_u_teacher: [B, ...] flattened per-sample then normalized.
+    Squared L2 distance on the unit sphere: d = 2 - 2 <a, b>.
+    The student picks its topk nearest pool rows; the loss is the teacher's
+    mean distance to those same rows.
+    """
+    b = rep_u.shape[0]
+    s = rep_u.reshape(b, -1).astype(jnp.float32)
+    s = s / (jnp.linalg.norm(s, axis=-1, keepdims=True) + 1e-12)
+    t = rep_u_teacher.reshape(b, -1).astype(jnp.float32)
+    t = t / (jnp.linalg.norm(t, axis=-1, keepdims=True) + 1e-12)
+    pool = random_pool.astype(jnp.float32)
+    dist_t = 2.0 - 2.0 * jnp.einsum("bc,kc->bk", s, pool,
+                                    precision=jax.lax.Precision.HIGHEST)
+    dist_q = 2.0 - 2.0 * jnp.einsum("bc,kc->bk", t, pool,
+                                    precision=jax.lax.Precision.HIGHEST)
+    _, nn_index = jax.lax.top_k(-dist_t, topk)
+    nn_dist_q = jnp.take_along_axis(dist_q, nn_index, axis=1)
+    return jnp.mean(jnp.sum(nn_dist_q, axis=1) / topk)
+
+
+def equivariance_loss(pred_tps, pred_tps_org, mask_tps):
+    """Masked KL equivariance loss (train_arco_2d.py:417-423).
+
+    pred_tps:     [B, ..., K] student logits on warped images
+    pred_tps_org: [B, ..., K] warped detached predictions
+    mask_tps:     [B, ..., 1] warped validity mask
+    KLDivLoss(reduction='none'): q * (log q - log p), per element; masked sum
+    per sample normalized by mask sum, then mean over batch.
+    """
+    logp = jax.nn.log_softmax(pred_tps.astype(jnp.float32), axis=-1)
+    q = jax.nn.softmax(pred_tps_org.astype(jnp.float32), axis=-1)
+    logq = jnp.log(jnp.clip(q, 1e-30, 1.0))
+    kl = q * (logq - logp)                       # [B, ..., K]
+    kl = kl * mask_tps.astype(jnp.float32)
+    b = kl.shape[0]
+    num = kl.reshape(b, -1).sum(1)
+    # torch broadcasts the 1-channel mask over K classes inside the product
+    # but the denominator uses the raw (1-channel) mask sum
+    den = mask_tps.reshape(b, -1).astype(jnp.float32).sum(1) + 1e-7
+    return jnp.mean(num / den)

@@ -1,0 +1,238 @@
+"""Memory-bank pixel contrastive loss with stratified Monte-Carlo sampling —
+the paper's core contribution, rebuilt with static shapes for XLA.
+
+Parity target: compute_contra_memobank_loss (loss_helper_3d.py:271-520 for 2D
+tensors; loss_helper.py:442-686 for 3D — one rank-generic implementation here,
+fixing the reference's swapped-filename duplication, SURVEY §0).
+
+Reference semantics per class i:
+ 1. anchors come from pixels that are (a) labeled-or-low-entropy valid,
+    (b) teacher prob_i > 0.3 (current_class_threshold),
+    sampled by the stratified ('smc') or antithetic ('asmc') sampler;
+ 2. the positive is the class prototype: masked mean of teacher features
+    over the low-entropy valid pixels of class i;
+ 3. negatives are teacher features of pixels that are high-entropy valid,
+    teacher prob_i < delta_n, and whose class-i prob rank lies in
+    [low_rank, high_rank) for unlabeled pixels (or rank < low_rank with
+    label != i for labeled pixels); they are pushed into a per-class FIFO
+    memory bank, and num_queries*num_negatives indices are drawn per step;
+ 4. loss = CE over cosine similarities (anchor vs [proto; negatives]) / temp,
+    averaged over classes with any valid pixel; zero if <2 classes valid.
+
+Static-shape re-design (SURVEY §7.3 hard part #1):
+- dynamic boolean-mask gathers -> rank-space stratified sampling
+  (arco_tpu.ops.sampling) + gather;
+- CPU list-FIFO bank -> pre-allocated [num_classes, capacity, feat] ring
+  buffer with per-class pointers/counts; a fixed number of keys
+  (cfg.memobank_enqueue) is sampled from each class's negative mask per step
+  (the reference enqueues all matching pixels — equivalence is
+  distributional: both fill the bank with stratified negative samples);
+- `len(...)==0` fallbacks -> validity masks folded into the loss weights;
+- the [Q*N, feat] negative gather (256 MB in the reference!) -> blockwise
+  gather+einsum over query chunks (see sampled_infonce) or the fused Pallas
+  kernel in arco_tpu.ops.pallas.infonce.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from arco_tpu.ops import sampling
+
+
+class MemoBank(NamedTuple):
+    """Per-class negative-key bank. capacities is a static numpy vector —
+    class 0 (background) gets a larger bank (train_arco_2d.py:147-154)."""
+    data: jnp.ndarray        # [num_classes, max_capacity, feat]
+    ptr: jnp.ndarray         # [num_classes] int32
+    count: jnp.ndarray       # [num_classes] int32
+    capacities: tuple        # static per-class capacity
+
+    @property
+    def num_classes(self):
+        return self.data.shape[0]
+
+
+def create_memobank(num_classes: int, feat: int, capacity: int = 30000,
+                    capacity_bg: int = 50000, dtype=jnp.float32) -> MemoBank:
+    caps = tuple([capacity_bg] + [capacity] * (num_classes - 1))
+    max_cap = max(caps)
+    return MemoBank(
+        data=jnp.zeros((num_classes, max_cap, feat), dtype),
+        ptr=jnp.zeros((num_classes,), jnp.int32),
+        count=jnp.zeros((num_classes,), jnp.int32),
+        capacities=caps)
+
+
+def _bank_enqueue(bank: MemoBank, cls: int, keys: jnp.ndarray, enable):
+    """Enqueue [B, feat] keys into class ``cls`` with wraparound at the
+    class's own capacity; no-op when ``enable`` is False."""
+    cap = bank.capacities[cls]
+    b = keys.shape[0]
+    idx = (bank.ptr[cls] + jnp.arange(b, dtype=jnp.int32)) % cap
+    written = bank.data.at[cls, idx].set(keys.astype(bank.data.dtype))
+    data = jnp.where(enable, written, bank.data)
+    ptr = bank.ptr.at[cls].set(
+        jnp.where(enable, (bank.ptr[cls] + b) % cap, bank.ptr[cls]))
+    count = bank.count.at[cls].set(
+        jnp.where(enable, jnp.minimum(bank.count[cls] + b, cap),
+                  bank.count[cls]))
+    return bank._replace(data=data, ptr=ptr, count=count)
+
+
+def _l2_normalize(x, axis=-1, eps=1e-12):
+    return x / (jnp.linalg.norm(x.astype(jnp.float32), axis=axis,
+                                keepdims=True) + eps)
+
+
+def sampled_infonce(anchor, proto, bank_rows, neg_idx, temp: float,
+                    block_q: int = 32):
+    """CE over cosine similarities without materializing [Q, N, C] in HBM.
+
+    anchor:    [Q, C] student anchor features
+    proto:     [C] class prototype (positive)
+    bank_rows: [cap, C] memory bank for this class
+    neg_idx:   [Q, N] int32 indices into bank_rows
+    Returns mean CE with the positive at index 0 (loss_helper_3d.py:497-506).
+
+    Processes queries in blocks of ``block_q``: gathers that block's negative
+    keys, one einsum on the MXU, online CE. Peak extra memory is
+    block_q*N*C instead of Q*N*C.
+    """
+    q, c = anchor.shape
+    n = neg_idx.shape[1]
+    assert q % block_q == 0
+    a_n = _l2_normalize(anchor).astype(jnp.float32)
+    p_n = _l2_normalize(proto[None, :])[0].astype(jnp.float32)
+    bank_n = _l2_normalize(bank_rows).astype(jnp.float32)
+
+    pos_logit = (a_n @ p_n) / temp                     # [Q]
+
+    def block(carry, inp):
+        a_blk, idx_blk = inp                           # [Bq, C], [Bq, N]
+        negs = bank_n[idx_blk.reshape(-1)]             # [Bq*N, C]
+        negs = negs.reshape(block_q, n, c)
+        sims = jnp.einsum("qc,qnc->qn", a_blk, negs,
+                          precision=jax.lax.Precision.DEFAULT) / temp
+        return carry, sims
+
+    a_blocks = a_n.reshape(q // block_q, block_q, c)
+    i_blocks = neg_idx.reshape(q // block_q, block_q, n)
+    _, neg_logits = jax.lax.scan(block, None, (a_blocks, i_blocks))
+    neg_logits = neg_logits.reshape(q, n)
+
+    all_logits = jnp.concatenate([pos_logit[:, None], neg_logits], axis=1)
+    ce = jax.nn.logsumexp(all_logits, axis=1) - pos_logit
+    return jnp.mean(ce)
+
+
+def compute_contra_memobank_loss(
+        rng,
+        rep,                # [B, *spatial, C] student fused representations
+        label_onehot_all,   # [B, *spatial, K] (labeled ++ unlabeled) one-hot
+        prob_all,           # [B, *spatial, K] teacher probabilities
+        rank_all,           # [B, *spatial, K] int32 descending rank of each class
+        is_labeled,         # [B] bool, True for the labeled sub-batch
+        label_l_onehot,     # [B, *spatial, K], zeros for unlabeled rows
+        low_mask,           # [B, *spatial] low-entropy-or-labeled validity
+        high_mask,          # [B, *spatial] high-entropy-or-labeled validity
+        rep_teacher,        # [B, *spatial, C] teacher fused representations
+        memobank: MemoBank,
+        *,
+        delta_n: float = 1.0,
+        func: str = "smc",
+        num_queries: int = 256,
+        num_negatives: int = 512,
+        temp: float = 0.5,
+        low_rank: int = 3,
+        high_rank: int = 20,
+        current_class_threshold: float = 0.3,
+        enqueue_per_class: int = 256,
+        infonce_fn=None,
+):
+    """Returns (new_memobank, reco_loss). See module docstring.
+
+    ``rank_all[..., i]`` must be the 0-based position of class i in the
+    descending sort of teacher probabilities (0 = most probable), matching
+    torch.sort(prob, 1, True) at loss_helper_3d.py:352-358.
+    """
+    num_classes = label_onehot_all.shape[-1]
+    feat = rep.shape[-1]
+    b = rep.shape[0]
+    infonce = infonce_fn or sampled_infonce
+
+    rep_flat = rep.reshape(-1, feat)
+    rep_t_flat = rep_teacher.reshape(-1, feat)
+
+    lab = is_labeled.reshape((b,) + (1,) * (rep.ndim - 2)).astype(bool)
+
+    losses, valids, has_anchor = [], [], []
+    new_bank = memobank
+    for i in range(num_classes):
+        rng, k_anchor, k_neg, k_enq = jax.random.split(rng, 4)
+        onehot_i = label_onehot_all[..., i] > 0
+        low_valid = onehot_i & (low_mask > 0)
+        high_valid = onehot_i & (high_mask > 0)
+        prob_i = prob_all[..., i]
+
+        anchor_mask = (prob_i > current_class_threshold) & low_valid
+        high_entropy_mask = (prob_i < delta_n) & high_valid
+
+        # class mask (loss_helper_3d.py:384-397): unlabeled pixels whose
+        # class-i rank is in [low_rank, high_rank); labeled pixels whose
+        # rank < low_rank AND whose label is not class i.
+        rank_i = rank_all[..., i]
+        cm_u = (rank_i >= low_rank) & (rank_i < high_rank) & (~lab)
+        cm_l = (rank_i < low_rank) & (label_l_onehot[..., i] == 0) & lab
+        negative_mask = high_entropy_mask & (cm_u | cm_l)
+
+        # class prototype from teacher features over low-valid pixels
+        lv = low_valid.reshape(-1, 1).astype(jnp.float32)
+        n_low = jnp.sum(lv)
+        proto = jnp.sum(rep_t_flat.astype(jnp.float32) * lv, axis=0) / \
+            jnp.maximum(n_low, 1.0)
+
+        # enqueue a stratified sample of this step's negatives
+        neg_flat = negative_mask.reshape(-1)
+        enq_idx, n_neg_pix = sampling.sample_from_mask(
+            k_enq, neg_flat, enqueue_per_class, func="smc")
+        keys = rep_t_flat[enq_idx]
+        new_bank = _bank_enqueue(new_bank, i, keys, enable=n_neg_pix > 0)
+
+        # anchors (stratified over the valid-pixel sequence)
+        anchor_flat = anchor_mask.reshape(-1)
+        a_idx, n_anchor = sampling.sample_from_mask(
+            k_anchor, anchor_flat, num_queries, func=func)
+        anchor_feat = rep_flat[a_idx]
+
+        # negatives from the bank
+        bank_count = new_bank.count[i]
+        neg_ranks = sampling.draw_indices(
+            k_neg, bank_count, num_queries * num_negatives, func=func)
+        neg_idx = neg_ranks.reshape(num_queries, num_negatives)
+
+        loss_i = infonce(anchor_feat, proto, new_bank.data[i], neg_idx, temp)
+
+        valids.append(n_low > 0)
+        has_anchor.append((n_anchor > 0) & (bank_count > 0))
+        losses.append(loss_i)
+
+    losses = jnp.stack(losses)
+    valid_v = jnp.stack(valids)
+    contrib = jnp.stack(has_anchor) & valid_v
+    valid_seg = jnp.sum(valid_v.astype(jnp.float32))
+    total = jnp.sum(losses * contrib.astype(jnp.float32))
+    # <2 valid classes -> 0 (loss_helper_3d.py:417-425)
+    reco = jnp.where(valid_seg > 1, total / jnp.maximum(valid_seg, 1.0), 0.0)
+    return new_bank, reco
+
+
+def descending_rank(prob: jnp.ndarray) -> jnp.ndarray:
+    """rank_all[..., i] = position of class i in the descending sort of the
+    class axis (torch.sort(prob, 1, True) parity incl. stable tie order)."""
+    order = jnp.argsort(-prob, axis=-1, stable=True)
+    return jnp.argsort(order, axis=-1).astype(jnp.int32)
