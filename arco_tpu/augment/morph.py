@@ -1,0 +1,145 @@
+"""Adversarial diffeomorphic morphing (AdvMorph) as pure JAX.
+
+Parity target: adv_morph.py:260-594 —
+- random velocity field on a coarse grid, L2 unit-normalized
+  (init_velocity, adv_morph.py:422-441; unit_normalize divides by the
+  per-sample max-abs then by the per-sample L2 norm of the flattened field);
+- gaussian smoothing (sigma=1, ks=3 -> expanded to 7 by the reference's size
+  rule, adv_morph.py:460-462);
+- bilinear upsample to image size (align_corners=False);
+- scaling-and-squaring exponentiation: phi = (id + v/2^n) composed with
+  itself n=8 times (vectorFieldExponentiation2D, adv_morph.py:266-294);
+- composition with the identity grid, second smoothing of the offset, clamp
+  to [-1,1] (DemonsCompose, adv_morph.py:499-530);
+- grid_sample(mode=bilinear, padding_mode=border by default? — the
+  reference's transform uses the torch default 'zeros' with
+  align_corners=True, adv_morph.py:558-573).
+
+The trainers only use init_parameters + forward (augment.py:271-279) with
+epsilon=1.5, xi=0.5, vector_size = data_size/8; the adversarial optimization
+path (optimize_parameters) is not exercised and is provided via
+`adversarial_step` for completeness.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from arco_tpu.ops.gaussian import adv_morph_kernel_size, gaussian_blur_2d
+from arco_tpu.ops.interpolate import grid_sample_2d, resize_bilinear
+
+
+def base_grid(batch_size: int, height: int, width: int) -> jnp.ndarray:
+    """Identity sampling grid [B, H, W, 2] in (x, y) order, linspace(-1,1)
+    (adv_morph.py:181-205)."""
+    y = jnp.linspace(-1.0, 1.0, height)
+    x = jnp.linspace(-1.0, 1.0, width)
+    yy, xx = jnp.meshgrid(y, x, indexing="ij")
+    grid = jnp.stack([xx, yy], axis=-1)
+    return jnp.broadcast_to(grid, (batch_size, height, width, 2))
+
+
+def unit_normalize(d: jnp.ndarray) -> jnp.ndarray:
+    """Reference unit_normalize (adv_morph.py:120-146, p_type='l2'):
+    d / max|d| per sample, then / ||d||_2 of the flattened field."""
+    b = d.shape[0]
+    flat = d.reshape(b, -1)
+    d = d / (jnp.max(jnp.abs(flat), axis=1).reshape(
+        (b,) + (1,) * (d.ndim - 1)) + 1e-20)
+    flat = d.reshape(b, -1)
+    norm = jnp.sqrt(jnp.sum(flat ** 2, axis=1)).reshape(
+        (b,) + (1,) * (d.ndim - 1))
+    return d / (norm + 1e-16)
+
+
+def _compose(flow1: jnp.ndarray, flow2: jnp.ndarray) -> jnp.ndarray:
+    """applyComposition2D (adv_morph.py:297-307): sample flow1 at flow2's
+    coordinates; flows are [B, H, W, 2] grids, padding_mode='border'."""
+    return grid_sample_2d(flow1, flow2, mode="bilinear",
+                          padding_mode="border", align_corners=True)
+
+
+def field_exponentiation(duv: jnp.ndarray, nb_steps: int = 8) -> jnp.ndarray:
+    """Scaling-and-squaring integration of a velocity field [B, H, W, 2]
+    -> offset field (vectorFieldExponentiation2D, adv_morph.py:266-294)."""
+    b, h, w, _ = duv.shape
+    grid = base_grid(b, h, w)
+    phi = grid + duv / (2.0 ** nb_steps)
+
+    def body(_, phi):
+        return _compose(phi, phi)
+
+    phi = jax.lax.fori_loop(0, nb_steps, body, phi)
+    return phi - grid
+
+
+class AdvMorphParams(NamedTuple):
+    velocity: jnp.ndarray  # [B, h_vec, w_vec, 2]
+
+
+class AdvMorph:
+    """Functional AdvMorph: init_params -> deformation -> transform."""
+
+    def __init__(self, data_size: Tuple[int, int, int, int],
+                 vector_size: Tuple[int, int], epsilon: float = 1.5,
+                 xi: float = 0.5, num_steps: int = 8, sigma: float = 1.0,
+                 gaussian_ks: int = 3):
+        self.batch, self.height, self.width = (data_size[0], data_size[1],
+                                               data_size[2])
+        self.vector_size = vector_size
+        self.epsilon = epsilon
+        self.xi = xi
+        self.num_steps = num_steps
+        self.sigma = sigma
+        self.ks = adv_morph_kernel_size(gaussian_ks, sigma)
+
+    def init_params(self, rng) -> AdvMorphParams:
+        duv = jax.random.uniform(rng, (self.batch, *self.vector_size, 2),
+                                 minval=-1.0, maxval=1.0)
+        return AdvMorphParams(velocity=unit_normalize(duv))
+
+    def deformation_grid(self, params: AdvMorphParams,
+                         scale: float | None = None) -> jnp.ndarray:
+        """DemonsCompose (adv_morph.py:499-530) -> sampling grid [B,H,W,2]."""
+        duv = params.velocity * (self.epsilon if scale is None else scale)
+        duv = gaussian_blur_2d(duv, self.sigma, self.ks)
+        duv = resize_bilinear(duv, (self.height, self.width),
+                              align_corners=False)
+        offsets = field_exponentiation(duv, self.num_steps)
+        grid = base_grid(self.batch, self.height, self.width)
+        composed = _compose(grid, offsets + grid)
+        smoothed = gaussian_blur_2d(composed - grid, self.sigma, self.ks)
+        return jnp.clip(smoothed + grid, -1.0, 1.0)
+
+    def transform(self, data: jnp.ndarray, grid: jnp.ndarray,
+                  mode: str = "bilinear") -> jnp.ndarray:
+        """grid_sample with torch-default zeros padding, align_corners=True
+        (adv_morph.py:558-573)."""
+        return grid_sample_2d(data, grid, mode=mode, padding_mode="zeros",
+                              align_corners=True)
+
+    def forward(self, rng, data: jnp.ndarray) -> jnp.ndarray:
+        params = self.init_params(rng)
+        return self.transform(data, self.deformation_grid(params))
+
+    def adversarial_step(self, params: AdvMorphParams, grad: jnp.ndarray,
+                         step_size: float) -> AdvMorphParams:
+        """optimize_parameters (adv_morph.py:538-556): ascend the unit-
+        normalized gradient of the attacked loss w.r.t. the velocity."""
+        return AdvMorphParams(
+            velocity=params.velocity + step_size * unit_normalize(grad))
+
+
+def adv_morph_batch(rng, images: jnp.ndarray, p: float = 0.5,
+                    epsilon: float = 1.5) -> jnp.ndarray:
+    """50%-probability whole-batch morph, as applied at the end of
+    batch_transform (augment.py:271-279): vector grid = image_size // 8."""
+    b, h, w, _ = images.shape
+    k_p, k_v = jax.random.split(rng)
+    morph = AdvMorph(data_size=(b, h, w, images.shape[-1]),
+                     vector_size=(w // 8, w // 8), epsilon=epsilon)
+    warped = morph.forward(k_v, images)
+    return jnp.where(jax.random.uniform(k_p) > p, warped, images)

@@ -1,0 +1,109 @@
+"""Stage-1 ISD pretraining entry point (reference: pretrain_2D.py).
+
+    python -m arco_tpu.cli.pretrain_2d --root_path ../data/ACDC \
+        --exp ACDC/pretrain --labeled_num 7 --max_iterations 30000
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from arco_tpu.config import TrainConfig, parse_args, patients_to_slices
+from arco_tpu.data.datasets import SliceDataset
+from arco_tpu.data.samplers import TwoStreamBatchSampler
+from arco_tpu.models import net_factory
+from arco_tpu.train import checkpoint as ckpt
+from arco_tpu.train.pretrain import (init_pretrain_state, make_isd_modules,
+                                     make_pretrain_step)
+from arco_tpu.train.schedule import make_optimizer
+from arco_tpu.utils.logging import MetricLogger
+
+
+def train(cfg: TrainConfig, snapshot_path: str):
+    os.makedirs(snapshot_path, exist_ok=True)
+    logging.basicConfig(
+        filename=os.path.join(snapshot_path, "log.txt"), level=logging.INFO,
+        format="[%(asctime)s.%(msecs)03d] %(message)s", datefmt="%H:%M:%S")
+    logging.getLogger().addHandler(logging.StreamHandler(sys.stdout))
+    logging.info(str(cfg))
+
+    num_classes = cfg.data.num_classes
+    h, w = cfg.data.patch_size
+    bs = cfg.data.batch_size
+    labeled_bs = cfg.data.labeled_bs
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    model = net_factory(cfg.model, in_chns=cfg.data.in_channels,
+                        class_num=num_classes, dtype=dtype)
+    modules = make_isd_modules(
+        model, num_classes=num_classes,
+        latent_feature_size=cfg.isd.latent_feature_size,
+        latent_pooling_size=cfg.isd.latent_pooling_size,
+        output_pooling_size=cfg.isd.output_pooling_size, dtype=dtype)
+    tx = make_optimizer(cfg.optim.base_lr, cfg.optim.max_iterations,
+                        cfg.optim.weight_decay, cfg.optim.momentum,
+                        cfg.optim.nesterov, cfg.optim.poly_power)
+    state = init_pretrain_state(jax.random.PRNGKey(cfg.seed), modules,
+                                cfg.isd, (bs, h, w, cfg.data.in_channels),
+                                cfg.optim.max_iterations)
+    state = state._replace(opt_state=tx.init(state.params))
+    step_fn = make_pretrain_step(modules, cfg.isd, tx, labeled_bs,
+                                 num_classes)
+
+    labeled_slice = patients_to_slices(cfg.exp, cfg.data.labeled_num)
+    dataset = SliceDataset(cfg.data.root_path, "train",
+                           output_size=cfg.data.patch_size)
+    sampler = TwoStreamBatchSampler(
+        list(range(labeled_slice)),
+        list(range(labeled_slice, len(dataset))), bs, bs - labeled_bs,
+        seed=cfg.seed)
+    logger = MetricLogger(snapshot_path)
+    host_rng = np.random.RandomState(cfg.seed)
+
+    it = 0
+    t0 = time.time()
+    while it < cfg.optim.max_iterations:
+        for idxs in sampler:
+            samples = [dataset.get(i, host_rng) for i in idxs]
+            images = np.stack([s["image"] for s in samples])
+            labels = np.stack([s["label"] for s in samples])
+            batch = {"student_image": jnp.asarray(images),
+                     "teacher_image": jnp.asarray(images),
+                     "label": jnp.asarray(labels)}
+            state, metrics = step_fn(state, batch)
+            it += 1
+            if it % cfg.log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                ips = cfg.log_every * bs / (time.time() - t0)
+                t0 = time.time()
+                logger.log(it, {**m, "images_per_sec": ips})
+                logging.info(
+                    "iteration %d : loss : %f, loss_ce: %f, loss_dice: %f, "
+                    "loss_latent: %f, loss_output: %f (%.1f img/s)", it,
+                    m["loss"], m["loss_ce"], m["loss_dice"],
+                    m["loss_latent"], m["loss_output"], ips)
+            if it % cfg.ckpt_every == 0:
+                ckpt.save_state(snapshot_path, it, state)
+            if it >= cfg.optim.max_iterations:
+                break
+    ckpt.save_state(snapshot_path, int(state.step), state)
+    return "Training Finished!"
+
+
+def main(argv=None):
+    cfg = parse_args(argv)
+    snapshot_path = os.path.join(
+        cfg.snapshot_dir,
+        f"{cfg.exp}_{cfg.data.labeled_num}_labeledfinal", cfg.model)
+    train(cfg, snapshot_path)
+
+
+if __name__ == "__main__":
+    main()

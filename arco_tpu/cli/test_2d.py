@@ -1,0 +1,73 @@
+"""2D volume evaluation entry point (reference: test_2D.py).
+
+    python -m arco_tpu.cli.test_2d --root_path ../data/ACDC \
+        --exp ACDC/arco --labeled_num 7 --iteration 30000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from arco_tpu.data.datasets import SliceDataset
+from arco_tpu.eval.slice2d import evaluate_2d
+from arco_tpu.models import net_factory
+from arco_tpu.train import checkpoint as ckpt
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--root_path", type=str, default="../data/ACDC")
+    p.add_argument("--exp", type=str, default="ACDC/example_training")
+    p.add_argument("--model", type=str, default="unet")
+    p.add_argument("--num_classes", type=int, default=4)
+    p.add_argument("--labeled_num", type=int, default=7)
+    p.add_argument("--snapshot_dir", type=str, default="../model")
+    p.add_argument("--iteration", type=int, default=None,
+                   help="checkpoint iteration; default = latest")
+    p.add_argument("--input_size", type=int, nargs=2, default=[256, 256])
+    args = p.parse_args(argv)
+
+    snapshot = os.path.join(
+        args.snapshot_dir, f"{args.exp}_{args.labeled_num}_labeledfinal",
+        args.model)
+    step = args.iteration or ckpt.latest_step(snapshot)
+    if step is None:
+        raise SystemExit(f"no checkpoint found under {snapshot}")
+    params, stats = ckpt.load_model_params(snapshot, step, None, None)
+
+    model = net_factory(args.model, in_chns=1, class_num=args.num_classes)
+
+    @jax.jit
+    def predict(x):
+        variables = {"params": params}
+        if stats:
+            variables["batch_stats"] = stats
+        logits, _, _ = model.apply(variables, x, train=False,
+                                   rngs={"dropout": jax.random.PRNGKey(0)})
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    dataset = SliceDataset(args.root_path, split="val",
+                           list_name="test.list")
+
+    def load(case):
+        idx = dataset.sample_list.index(case)
+        return dataset.load(idx)
+
+    result = evaluate_2d(dataset.sample_list, load, predict,
+                         args.num_classes, tuple(args.input_size))
+    per_class = result["per_class"].tolist()
+    mean = result["mean"].tolist()
+    print(json.dumps({"iteration": step, "per_class": per_class,
+                      "mean_dice": mean[0], "mean_jc": mean[1],
+                      "mean_hd95": mean[2], "mean_asd": mean[3]}))
+    return result
+
+
+if __name__ == "__main__":
+    main()

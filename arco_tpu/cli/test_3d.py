@@ -1,0 +1,72 @@
+"""3D sliding-window evaluation entry point (reference: test_3D.py).
+
+    python -m arco_tpu.cli.test_3d --root_path ../data/LA --exp LA/arco
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+
+from arco_tpu.data.datasets import LAHeartDataset
+from arco_tpu.eval.sliding_window import evaluate_3d
+from arco_tpu.models import net_factory_3d
+from arco_tpu.train import checkpoint as ckpt
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--root_path", type=str, default="../data/LA")
+    p.add_argument("--exp", type=str, default="LA/example")
+    p.add_argument("--model", type=str, default="vnet")
+    p.add_argument("--num_classes", type=int, default=2)
+    p.add_argument("--labeled_num", type=int, default=8)
+    p.add_argument("--snapshot_dir", type=str, default="../model")
+    p.add_argument("--iteration", type=int, default=None)
+    p.add_argument("--patch_size", type=int, nargs=3, default=[112, 112, 80])
+    p.add_argument("--stride_xy", type=int, default=18)
+    p.add_argument("--stride_z", type=int, default=4)
+    p.add_argument("--nms", type=int, default=0)
+    args = p.parse_args(argv)
+
+    snapshot = os.path.join(
+        args.snapshot_dir, f"{args.exp}_{args.labeled_num}_labeledfinal",
+        args.model)
+    step = args.iteration or ckpt.latest_step(snapshot)
+    if step is None:
+        raise SystemExit(f"no checkpoint found under {snapshot}")
+    params, stats = ckpt.load_model_params(snapshot, step, None, None)
+
+    model = net_factory_3d(args.model, in_chns=1, class_num=args.num_classes)
+
+    @jax.jit
+    def predict(x):
+        variables = {"params": params}
+        if stats:
+            variables["batch_stats"] = stats
+        logits, _, _ = model.apply(variables, x, train=False,
+                                   rngs={"dropout": jax.random.PRNGKey(0)})
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+    dataset = LAHeartDataset(args.root_path, split="test")
+
+    def load(case):
+        idx = dataset.sample_list.index(case)
+        return dataset.load(idx)
+
+    result = evaluate_3d(dataset.sample_list, load, predict,
+                         args.num_classes, tuple(args.patch_size),
+                         args.stride_xy, args.stride_z, use_nms=bool(args.nms))
+    mean = result["mean"].tolist()
+    print(json.dumps({"iteration": step, "mean_dice": mean[0],
+                      "mean_jc": mean[1], "mean_hd95": mean[2],
+                      "mean_asd": mean[3]}))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,139 @@
+"""ARCO stage-2 2D training entry point.
+
+CLI-compatible with the reference (train_arco_2d.py:26-89): the reference
+flags work directly, e.g.
+
+    python -m arco_tpu.cli.train_arco_2d --root_path ../data/ACDC \
+        --exp ACDC/arco --labeled_num 7 --max_iterations 30000
+
+plus dotted overrides for every config field (--arco.num_queries 256).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from arco_tpu.config import TrainConfig, parse_args, patients_to_slices
+from arco_tpu.data.datasets import SliceDataset, SynapseDataset
+from arco_tpu.data.pipeline import TwoStreamPipeline
+from arco_tpu.models import net_factory
+from arco_tpu.train import checkpoint as ckpt
+from arco_tpu.train.arco2d import (init_arco_state, make_arco_modules,
+                                   make_arco_step)
+from arco_tpu.train.schedule import make_optimizer
+from arco_tpu.utils.logging import MetricLogger
+
+
+def build_datasets(cfg: TrainConfig):
+    exp = cfg.exp
+    labeled_slice = patients_to_slices(exp, cfg.data.labeled_num)
+    common = dict(output_size=cfg.data.patch_size)
+    if "Syn" in exp or "syn" in exp or "Lits" in exp or "LiTS" in exp \
+            or "jhu" in exp or "JHU" in exp:
+        lits = "Lits" in exp or "LiTS" in exp
+        list_dir = cfg.data.list_dir or cfg.data.root_path
+        ds_l = SynapseDataset(cfg.data.root_path, list_dir, "train",
+                              index=labeled_slice, label_type=1, lits=lits,
+                              **common)
+        ds_u = SynapseDataset(cfg.data.root_path, list_dir, "train",
+                              index=labeled_slice, label_type=0, lits=lits,
+                              **common)
+    else:
+        ds_l = SliceDataset(cfg.data.root_path, "train", index=labeled_slice,
+                            label_type=1, **common)
+        ds_u = SliceDataset(cfg.data.root_path, "train", index=labeled_slice,
+                            label_type=0, **common)
+    return ds_l, ds_u
+
+
+def train(cfg: TrainConfig, snapshot_path: str):
+    os.makedirs(snapshot_path, exist_ok=True)
+    logging.basicConfig(
+        filename=os.path.join(snapshot_path, "log.txt"), level=logging.INFO,
+        format="[%(asctime)s.%(msecs)03d] %(message)s", datefmt="%H:%M:%S")
+    logging.getLogger().addHandler(logging.StreamHandler(sys.stdout))
+    logging.info(str(cfg))
+
+    num_classes = cfg.data.num_classes
+    h, w = cfg.data.patch_size
+    bs = cfg.data.batch_size
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    model = net_factory(cfg.model, in_chns=cfg.data.in_channels,
+                        class_num=num_classes, dtype=dtype)
+    modules = make_arco_modules(model, w, h, batch_size=bs,
+                                tps_sigma=cfg.arco.tps_sigma, dtype=dtype)
+    tx = make_optimizer(cfg.optim.base_lr, cfg.optim.max_iterations,
+                        cfg.optim.weight_decay, cfg.optim.momentum,
+                        cfg.optim.nesterov, cfg.optim.poly_power)
+
+    # stage-1 handoff (train_arco_2d.py:223-226)
+    model_params = model_stats = None
+    if cfg.resume:
+        resume_dir = os.path.join(
+            cfg.snapshot_dir,
+            f"{cfg.resume}_{cfg.data.labeled_num}_labeledfinal", cfg.model)
+        step = ckpt.latest_step(resume_dir)
+        if step is not None:
+            logging.info("loading stage-1 checkpoint iter_%d from %s", step,
+                         resume_dir)
+            model_params, model_stats = ckpt.load_model_params(
+                resume_dir, step, None, None)
+
+    state = init_arco_state(jax.random.PRNGKey(cfg.seed), modules, cfg.arco,
+                            (bs, h, w, cfg.data.in_channels), tx,
+                            model_params=model_params,
+                            model_batch_stats=model_stats)
+    step_fn = make_arco_step(modules, cfg.arco, tx, num_classes,
+                             cfg.optim.max_iterations,
+                             output_size=cfg.data.patch_size)
+
+    ds_l, ds_u = build_datasets(cfg)
+    pipeline = TwoStreamPipeline(ds_l, ds_u, bs, seed=cfg.seed)
+    logger = MetricLogger(snapshot_path)
+
+    t0 = time.time()
+    for it, batch in enumerate(pipeline, start=1):
+        dev_batch = {"image_l": jnp.asarray(batch["image_l"]),
+                     "label_l": jnp.asarray(batch["label_l"]),
+                     "image_u": jnp.asarray(batch["image_u"])}
+        state, metrics = step_fn(state, dev_batch)
+        if it % cfg.log_every == 0:
+            metrics = {k: float(v) for k, v in metrics.items()}
+            ips = cfg.log_every * bs * 2 / (time.time() - t0)
+            t0 = time.time()
+            logger.log(it, {**metrics, "images_per_sec": ips})
+            logging.info(
+                "iteration %d : loss : %f, loss_ce: %f, loss_dice: %f, "
+                "reco_loss: %f, unsup_loss: %f, loss_eqv: %f (%.1f img/s)",
+                it, metrics["loss"], metrics["loss_ce"],
+                metrics["loss_dice"], metrics["reco_loss"],
+                metrics["unsup_loss"], metrics["loss_eqv"], ips)
+        if it % cfg.ckpt_every == 0:
+            ckpt.save_state(snapshot_path, it, state)
+            logging.info("saved checkpoint iter_%d", it)
+        if it >= cfg.optim.max_iterations:
+            break
+    pipeline.close()
+    ckpt.save_state(snapshot_path, int(state.step), state)
+    return "Training Finished!"
+
+
+def main(argv=None):
+    cfg = parse_args(argv)
+    suffix = "final"
+    snapshot_path = os.path.join(
+        cfg.snapshot_dir, f"{cfg.exp}_{cfg.data.labeled_num}_labeled{suffix}",
+        cfg.model)
+    train(cfg, snapshot_path)
+
+
+if __name__ == "__main__":
+    main()

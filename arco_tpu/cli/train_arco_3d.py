@@ -1,0 +1,133 @@
+"""ARCO stage-2 3D training entry point (reference: train_arco_3d.py).
+
+    python -m arco_tpu.cli.train_arco_3d --root_path ../data/LA \
+        --exp LA/arco --labeled_num 8 --max_iterations 6000
+
+3D differences from the 2D path, mirrored from the reference:
+- V-Net backbone, patch [112,112,80], fused feature dim 16
+  (train_arco_3d.py:148,208-216);
+- no photometric/AdvMorph strong aug (augment_3d.py:209-226 passthrough);
+- the TPS-equivariance loss is computed for logging only and excluded from
+  the total (train_arco_3d.py:390-391) — flag-gated here;
+- train budget 6000 iterations, batch 4.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from arco_tpu.config import TrainConfig, parse_args
+from arco_tpu.data.datasets import LAHeartDataset
+from arco_tpu.data.pipeline import TwoStreamPipeline
+from arco_tpu.models import net_factory_3d
+from arco_tpu.train import checkpoint as ckpt
+from arco_tpu.train.arco2d import (init_arco_state, make_arco_modules,
+                                   make_arco_step)
+from arco_tpu.train.schedule import make_optimizer
+from arco_tpu.utils.logging import MetricLogger
+
+
+def default_3d_config() -> TrainConfig:
+    cfg = TrainConfig()
+    cfg.data.patch_size = (112, 112, 80)
+    cfg.data.num_classes = 2
+    cfg.data.labeled_num = 8   # index into train.list (LAHeartWithIndex)
+    cfg.optim.max_iterations = 6000
+    cfg.model = "vnet"
+    cfg.arco.use_eqv_loss = False
+    cfg.arco.compute_eqv = True
+    cfg.arco.use_photometric = False
+    cfg.arco.use_adv_morph = False
+    return cfg
+
+
+def train(cfg: TrainConfig, snapshot_path: str):
+    os.makedirs(snapshot_path, exist_ok=True)
+    logging.basicConfig(
+        filename=os.path.join(snapshot_path, "log.txt"), level=logging.INFO,
+        format="[%(asctime)s.%(msecs)03d] %(message)s", datefmt="%H:%M:%S")
+    logging.getLogger().addHandler(logging.StreamHandler(sys.stdout))
+    logging.info(str(cfg))
+
+    num_classes = cfg.data.num_classes
+    patch = tuple(cfg.data.patch_size)
+    bs = cfg.data.batch_size
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    model = net_factory_3d(cfg.model, in_chns=cfg.data.in_channels,
+                           class_num=num_classes, dtype=dtype)
+    modules = make_arco_modules(
+        model, patch[1], patch[0], batch_size=bs,
+        feature_channels=(128, 64, 32, 16, 16), fused_dim=16,
+        tps_sigma=cfg.arco.tps_sigma, dtype=dtype)
+    tx = make_optimizer(cfg.optim.base_lr, cfg.optim.max_iterations,
+                        cfg.optim.weight_decay, cfg.optim.momentum,
+                        cfg.optim.nesterov, cfg.optim.poly_power)
+
+    model_params = model_stats = None
+    if cfg.resume:
+        resume_dir = os.path.join(
+            cfg.snapshot_dir,
+            f"{cfg.resume}_{cfg.data.labeled_num}_labeledfinal", cfg.model)
+        step = ckpt.latest_step(resume_dir)
+        if step is not None:
+            logging.info("loading stage-1 checkpoint iter_%d", step)
+            model_params, model_stats = ckpt.load_model_params(
+                resume_dir, step, None, None)
+
+    state = init_arco_state(
+        jax.random.PRNGKey(cfg.seed), modules, cfg.arco,
+        (bs,) + patch + (cfg.data.in_channels,), tx,
+        model_params=model_params, model_batch_stats=model_stats)
+    step_fn = make_arco_step(modules, cfg.arco, tx, num_classes,
+                             cfg.optim.max_iterations)
+
+    ds_l = LAHeartDataset(cfg.data.root_path, "train",
+                          index=cfg.data.labeled_num, label_type=1,
+                          patch_size=patch)
+    ds_u = LAHeartDataset(cfg.data.root_path, "train",
+                          index=cfg.data.labeled_num, label_type=0,
+                          patch_size=patch)
+    pipeline = TwoStreamPipeline(ds_l, ds_u, bs, seed=cfg.seed)
+    logger = MetricLogger(snapshot_path)
+
+    t0 = time.time()
+    for it, batch in enumerate(pipeline, start=1):
+        dev_batch = {"image_l": jnp.asarray(batch["image_l"]),
+                     "label_l": jnp.asarray(batch["label_l"]),
+                     "image_u": jnp.asarray(batch["image_u"])}
+        state, metrics = step_fn(state, dev_batch)
+        if it % cfg.log_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            vps = cfg.log_every * bs * 2 / (time.time() - t0)
+            t0 = time.time()
+            logger.log(it, {**m, "volumes_per_sec": vps})
+            logging.info(
+                "iteration %d : loss : %f, reco: %f, unsup: %f (%.2f vol/s)",
+                it, m["loss"], m["reco_loss"], m["unsup_loss"], vps)
+        if it % cfg.ckpt_every == 0:
+            ckpt.save_state(snapshot_path, it, state)
+        if it >= cfg.optim.max_iterations:
+            break
+    pipeline.close()
+    ckpt.save_state(snapshot_path, int(state.step), state)
+    return "Training Finished!"
+
+
+def main(argv=None):
+    cfg = parse_args(argv, base=default_3d_config())
+    snapshot_path = os.path.join(
+        cfg.snapshot_dir, f"{cfg.exp}_{cfg.data.labeled_num}_labeledfinal",
+        cfg.model)
+    train(cfg, snapshot_path)
+
+
+if __name__ == "__main__":
+    main()

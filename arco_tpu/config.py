@@ -114,6 +114,13 @@ class ArcoConfig:
     # eqv loss participates in the 2D total but not the 3D one
     # (train_arco_3d.py:390-391); flag-gated instead of silently dropped.
     use_eqv_loss: bool = True
+    # whether to run the TPS-equivariance forward at all (the 3D reference
+    # computes it only for logging; skipping saves one forward)
+    compute_eqv: bool = True
+    # 2D strong augmentation (color jitter + blur + AdvMorph); the 3D
+    # reference's batch_transform is a passthrough (augment_3d.py:209-226)
+    use_photometric: bool = True
+    use_adv_morph: bool = True
 
 
 @dataclass

@@ -105,7 +105,10 @@ def sampled_infonce(anchor, proto, bank_rows, neg_idx, temp: float,
     """
     q, c = anchor.shape
     n = neg_idx.shape[1]
-    assert q % block_q == 0
+    import math
+    block_q = min(block_q, q)
+    if q % block_q:
+        block_q = math.gcd(q, block_q)
     a_n = _l2_normalize(anchor).astype(jnp.float32)
     p_n = _l2_normalize(proto[None, :])[0].astype(jnp.float32)
     bank_n = _l2_normalize(bank_rows).astype(jnp.float32)

@@ -1,0 +1,60 @@
+"""Checkpointing with orbax: the ENTIRE train state is saved — params, EMA
+params, optimizer state, queues/memory banks with their pointers, and the
+PRNG key — enabling bit-deterministic resume.
+
+The reference saves only model.state_dict() every 1000 iterations
+(train_arco_2d.py:462-470) and silently loses optimizer/EMA/queue state on
+restart (SURVEY §5 failure-detection row); this module fixes that while also
+writing a reference-style `iter_<N>` directory layout so the two-stage
+handoff (--resume, train_arco_2d.py:223-226) works the same way.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _path(snapshot_dir: str, step: int) -> str:
+    return os.path.join(os.path.abspath(snapshot_dir), f"iter_{step}")
+
+
+def save_state(snapshot_dir: str, step: int, state: Any):
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(_path(snapshot_dir, step), state, force=True)
+    ckpt.wait_until_finished()
+
+
+def restore_state(snapshot_dir: str, step: int, target: Any) -> Any:
+    ckpt = ocp.StandardCheckpointer()
+    return ckpt.restore(_path(snapshot_dir, step), target=target)
+
+
+def latest_step(snapshot_dir: str) -> Optional[int]:
+    if not os.path.isdir(snapshot_dir):
+        return None
+    steps = []
+    for name in os.listdir(snapshot_dir):
+        if name.startswith("iter_"):
+            try:
+                steps.append(int(name.split("_")[1]))
+            except ValueError:
+                continue
+    return max(steps) if steps else None
+
+
+def load_model_params(snapshot_dir: str, step: int, params_like: Any,
+                      batch_stats_like: Any):
+    """Stage-1 -> stage-2 handoff: pull just the backbone params (+BN stats)
+    out of a pretrain checkpoint (train_arco_2d.py:223-226 equivalent)."""
+    ckpt = ocp.StandardCheckpointer()
+    meta = ckpt.metadata(_path(snapshot_dir, step))
+    del meta
+    # restore the full tree lazily, then index the model subtrees
+    restored = ckpt.restore(_path(snapshot_dir, step))
+    params = restored["params"]["model"]
+    stats = restored["batch_stats"]["model"]
+    return params, stats

@@ -1,0 +1,51 @@
+"""Training metric logging.
+
+The reference logs scalars to tensorboardX + a pickled loss list
+(train_arco_2d.py:440-478). Here: JSONL scalars (always) + TensorBoard events
+when tensorboardX is importable, with the reference's scalar names
+(info/total_loss, info/reco_loss, ...) for parity diffing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict
+
+_TB_NAME_MAP = {
+    "loss": "info/total_loss",
+    "reco_loss": "info/reco_loss",
+    "loss_q": "info/loss_q",
+    "unsup_loss": "info/unsup_loss",
+    "loss_ce": "info/loss_ce",
+    "loss_dice": "info/loss_dice",
+    "loss_eqv": "info/loss_eqv",
+    "loss_latent": "info/loss_latent",
+    "loss_output": "info/loss_output",
+    "lr": "info/lr",
+}
+
+
+class MetricLogger:
+    def __init__(self, snapshot_path: str):
+        self.jsonl = open(os.path.join(snapshot_path, "metrics.jsonl"), "a")
+        self.tb = None
+        try:
+            from tensorboardX import SummaryWriter
+            self.tb = SummaryWriter(os.path.join(snapshot_path, "log"))
+        except ImportError:
+            pass
+
+    def log(self, step: int, metrics: Dict[str, float]):
+        rec = {"step": step}
+        rec.update({k: float(v) for k, v in metrics.items()})
+        self.jsonl.write(json.dumps(rec) + "\n")
+        self.jsonl.flush()
+        if self.tb is not None:
+            for k, v in metrics.items():
+                self.tb.add_scalar(_TB_NAME_MAP.get(k, k), float(v), step)
+
+    def close(self):
+        self.jsonl.close()
+        if self.tb is not None:
+            self.tb.close()

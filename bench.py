@@ -1,0 +1,151 @@
+"""Benchmark harness: full ARCO 2D train-step throughput on the local chip.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md); the north star is >=5x the
+PyTorch-CPU reference step throughput at matched settings. ``vs_baseline``
+compares against a torch-CPU proxy of the reference step measured in-process
+(6 U-Net forwards + backward through 4, reference arch and batch); if torch
+is unavailable the ratio is reported as 0.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def bench_arco_step(steps: int = 20, warmup: int = 2, batch: int = 4,
+                    hw: int = 256, k: int = 4):
+    import jax
+    import jax.numpy as jnp
+    from arco_tpu.config import ArcoConfig
+    from arco_tpu.models import net_factory
+    from arco_tpu.train.arco2d import (init_arco_state, make_arco_modules,
+                                       make_arco_step)
+    from arco_tpu.train.schedule import make_optimizer
+
+    on_cpu = jax.devices()[0].platform == "cpu"
+    if on_cpu:  # keep the CPU fallback tractable
+        hw, batch = 64, 2
+
+    cfg = ArcoConfig()  # full reference hyper-parameters
+    dtype = jnp.float32 if on_cpu else jnp.bfloat16
+    model = net_factory("unet", in_chns=1, class_num=k, dtype=dtype)
+    modules = make_arco_modules(model, hw, hw, batch_size=batch, dtype=dtype)
+    if cfg.K % batch:
+        cfg = ArcoConfig(K=(cfg.K // batch) * batch or batch)
+    tx = make_optimizer(0.01, 30000)
+    state = init_arco_state(jax.random.PRNGKey(0), modules, cfg,
+                            (batch, hw, hw, 1), tx)
+    step_fn = make_arco_step(modules, cfg, tx, num_classes=k,
+                             max_iterations=30000)
+
+    rng = np.random.RandomState(0)
+    label = rng.randint(0, k, size=(batch, hw, hw)).astype(np.int32)
+    image = (label[..., None].astype(np.float32) / (k - 1)
+             + 0.1 * rng.randn(batch, hw, hw, 1).astype(np.float32))
+    batch_d = {"image_l": jnp.asarray(image), "label_l": jnp.asarray(label),
+               "image_u": jnp.asarray(image)}
+
+    for _ in range(warmup):
+        state, metrics = step_fn(state, batch_d)
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step_fn(state, batch_d)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    images_per_step = 2 * batch  # labeled + unlabeled streams
+    return steps * images_per_step / dt, hw, batch
+
+
+def bench_torch_cpu_proxy(hw: int = 256, batch: int = 4, k: int = 4,
+                          steps: int = 2):
+    """Reference-step compute proxy on torch CPU: 6 U-Net forwards with
+    backward through the 4 student passes (SURVEY §3.2)."""
+    try:
+        import torch
+        import torch.nn as nn
+    except ImportError:
+        return None
+
+    torch.set_num_threads(os.cpu_count() or 1)
+
+    def conv_block(cin, cout, p):
+        return nn.Sequential(
+            nn.Conv2d(cin, cout, 3, padding=1), nn.BatchNorm2d(cout),
+            nn.LeakyReLU(), nn.Dropout(p),
+            nn.Conv2d(cout, cout, 3, padding=1), nn.BatchNorm2d(cout),
+            nn.LeakyReLU())
+
+    class MiniUNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            ft = [16, 32, 64, 128, 256]
+            dp = [0.05, 0.1, 0.2, 0.3, 0.5]
+            self.enc = nn.ModuleList(
+                [conv_block(1 if i == 0 else ft[i - 1], ft[i], dp[i])
+                 for i in range(5)])
+            self.up = nn.ModuleList(
+                [nn.ConvTranspose2d(ft[i], ft[i - 1], 2, 2)
+                 for i in range(4, 0, -1)])
+            self.dec = nn.ModuleList(
+                [conv_block(ft[i - 1] * 2, ft[i - 1], 0.0)
+                 for i in range(4, 0, -1)])
+            self.out = nn.Conv2d(ft[0], k, 3, padding=1)
+            self.pool = nn.MaxPool2d(2)
+
+        def forward(self, x):
+            feats = []
+            for i, blk in enumerate(self.enc):
+                if i:
+                    x = self.pool(x)
+                x = blk(x)
+                feats.append(x)
+            x = feats[-1]
+            for u, d, skip in zip(self.up, self.dec, feats[-2::-1]):
+                x = d(torch.cat([skip, u(x)], dim=1))
+            return self.out(x)
+
+    net = MiniUNet()
+    opt = torch.optim.SGD(net.parameters(), lr=0.01, momentum=0.9,
+                          nesterov=True, weight_decay=1e-4)
+    x = torch.randn(batch, 1, hw, hw)
+    y = torch.randint(0, k, (batch, hw, hw))
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        loss = 0.0
+        for _ in range(4):  # student forwards carrying grad
+            loss = loss + nn.functional.cross_entropy(net(x), y)
+        with torch.no_grad():  # teacher forwards
+            net(x)
+            net(x)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+    dt = time.perf_counter() - t0
+    return steps * 2 * batch / dt
+
+
+def main():
+    quick = "--quick" in sys.argv
+    ips, hw, batch = bench_arco_step(steps=5 if quick else 20)
+    baseline = None
+    if not quick and hw == 256:
+        try:
+            baseline = bench_torch_cpu_proxy(hw=hw, batch=batch)
+        except Exception:
+            baseline = None
+    vs = round(ips / baseline, 3) if baseline else 0
+    print(json.dumps({
+        "metric": f"ARCO-2D train step throughput ({hw}x{hw}, bs {batch}+{batch})",
+        "value": round(ips, 3), "unit": "images/sec/chip",
+        "vs_baseline": vs}))
+
+
+if __name__ == "__main__":
+    main()
