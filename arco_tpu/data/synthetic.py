@@ -28,7 +28,7 @@ def _shape_image(rng, size, num_classes):
         r = rng.randint(h // 10, h // 5)
         label[(yy - cy) ** 2 + (xx - cx) ** 2 < r * r] = c
     image = (label.astype(np.float32) / max(num_classes - 1, 1)
-             + 0.15 * rng.randn(h, w).astype(np.float32))
+             + 0.08 * rng.randn(h, w).astype(np.float32))
     image = np.clip(image, 0, 1.5)
     return image, label
 
@@ -55,10 +55,9 @@ def make_acdc_like(root: str, n_train: int = 24, n_val: int = 2,
     vol_cases = []
     for i in range(n_val):
         case = f"patient{100 + i:03d}_volume"
-        image = np.stack([_shape_image(rng, size, num_classes)[0]
-                          for _ in range(depth)])
-        label = np.stack([_shape_image(rng, size, num_classes)[1]
-                          for _ in range(depth)])
+        pairs = [_shape_image(rng, size, num_classes) for _ in range(depth)]
+        image = np.stack([p[0] for p in pairs])
+        label = np.stack([p[1] for p in pairs])
         with h5py.File(os.path.join(root, "data", f"{case}.h5"), "w") as f:
             f.create_dataset("image", data=image)
             f.create_dataset("label", data=label)

@@ -44,15 +44,20 @@ def revisiting_loss(random_pool, rep_u, rep_u_teacher, topk: int = 5):
     mean distance to those same rows.
     """
     b = rep_u.shape[0]
-    s = rep_u.reshape(b, -1).astype(jnp.float32)
-    s = s / (jnp.linalg.norm(s, axis=-1, keepdims=True) + 1e-12)
-    t = rep_u_teacher.reshape(b, -1).astype(jnp.float32)
-    t = t / (jnp.linalg.norm(t, axis=-1, keepdims=True) + 1e-12)
-    pool = random_pool.astype(jnp.float32)
-    dist_t = 2.0 - 2.0 * jnp.einsum("bc,kc->bk", s, pool,
-                                    precision=jax.lax.Precision.HIGHEST)
-    dist_q = 2.0 - 2.0 * jnp.einsum("bc,kc->bk", t, pool,
-                                    precision=jax.lax.Precision.HIGHEST)
+
+    def norm(x):
+        x = x.reshape(b, -1)
+        n2 = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1,
+                     keepdims=True)
+        return (x.astype(jnp.float32) * jax.lax.rsqrt(n2 + 1e-24)).astype(
+            x.dtype)
+
+    s, t = norm(rep_u), norm(rep_u_teacher)
+    # pool rows stay bf16 into the MXU; accumulation is f32
+    dist_t = 2.0 - 2.0 * jnp.matmul(s, random_pool.T.astype(s.dtype),
+                                    preferred_element_type=jnp.float32)
+    dist_q = 2.0 - 2.0 * jnp.matmul(t, random_pool.T.astype(t.dtype),
+                                    preferred_element_type=jnp.float32)
     _, nn_index = jax.lax.top_k(-dist_t, topk)
     nn_dist_q = jnp.take_along_axis(dist_q, nn_index, axis=1)
     return jnp.mean(jnp.sum(nn_dist_q, axis=1) / topk)

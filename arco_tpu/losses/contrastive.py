@@ -85,13 +85,14 @@ def _bank_enqueue(bank: MemoBank, cls: int, keys: jnp.ndarray, enable):
 
 
 def _l2_normalize(x, axis=-1, eps=1e-12):
-    return x / (jnp.linalg.norm(x.astype(jnp.float32), axis=axis,
-                                keepdims=True) + eps)
+    """Norms accumulate in f32; output keeps the input dtype so bf16 banks
+    stay bf16 into the MXU matmul (which accumulates f32)."""
+    n2 = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=axis, keepdims=True)
+    return (x.astype(jnp.float32) * jax.lax.rsqrt(n2 + eps)).astype(x.dtype)
 
 
-def sampled_infonce(anchor, proto, bank_rows, neg_idx, temp: float,
-                    block_q: int = 32):
-    """CE over cosine similarities without materializing [Q, N, C] in HBM.
+def sampled_infonce(anchor, proto, bank_rows, neg_idx, temp: float):
+    """CE over cosine similarities without gathering key *vectors* at all.
 
     anchor:    [Q, C] student anchor features
     proto:     [C] class prototype (positive)
@@ -99,34 +100,23 @@ def sampled_infonce(anchor, proto, bank_rows, neg_idx, temp: float,
     neg_idx:   [Q, N] int32 indices into bank_rows
     Returns mean CE with the positive at index 0 (loss_helper_3d.py:497-506).
 
-    Processes queries in blocks of ``block_q``: gathers that block's negative
-    keys, one einsum on the MXU, online CE. Peak extra memory is
-    block_q*N*C instead of Q*N*C.
+    The reference gathers [Q*N, C] key vectors (256 MB at 2D settings,
+    loss_helper_3d.py:487-496). Here ONE MXU matmul computes every
+    anchor-bank similarity [Q, cap] in a single pass over the bank, and the
+    sampled logits are then a scalar gather [Q, N] from [Q, cap] — the HBM
+    traffic drops by ~C (the feature width) and the FLOPs ride the MXU.
+    The fully-streaming Pallas variant (no [Q, cap] materialization either)
+    lives in arco_tpu.ops.pallas.infonce.
     """
-    q, c = anchor.shape
-    n = neg_idx.shape[1]
-    import math
-    block_q = min(block_q, q)
-    if q % block_q:
-        block_q = math.gcd(q, block_q)
-    a_n = _l2_normalize(anchor).astype(jnp.float32)
-    p_n = _l2_normalize(proto[None, :])[0].astype(jnp.float32)
-    bank_n = _l2_normalize(bank_rows).astype(jnp.float32)
+    a_n = _l2_normalize(anchor)
+    p_n = _l2_normalize(proto[None, :])[0]
+    bank_n = _l2_normalize(bank_rows)
 
-    pos_logit = (a_n @ p_n) / temp                     # [Q]
-
-    def block(carry, inp):
-        a_blk, idx_blk = inp                           # [Bq, C], [Bq, N]
-        negs = bank_n[idx_blk.reshape(-1)]             # [Bq*N, C]
-        negs = negs.reshape(block_q, n, c)
-        sims = jnp.einsum("qc,qnc->qn", a_blk, negs,
-                          precision=jax.lax.Precision.DEFAULT) / temp
-        return carry, sims
-
-    a_blocks = a_n.reshape(q // block_q, block_q, c)
-    i_blocks = neg_idx.reshape(q // block_q, block_q, n)
-    _, neg_logits = jax.lax.scan(block, None, (a_blocks, i_blocks))
-    neg_logits = neg_logits.reshape(q, n)
+    pos_logit = jnp.matmul(a_n, p_n,
+                           preferred_element_type=jnp.float32) / temp  # [Q]
+    sims_full = jnp.matmul(a_n, bank_n.T,
+                           preferred_element_type=jnp.float32) / temp
+    neg_logits = jnp.take_along_axis(sims_full, neg_idx, axis=1)  # [Q, N]
 
     all_logits = jnp.concatenate([pos_logit[:, None], neg_logits], axis=1)
     ce = jax.nn.logsumexp(all_logits, axis=1) - pos_logit
@@ -173,6 +163,17 @@ def compute_contra_memobank_loss(
 
     lab = is_labeled.reshape((b,) + (1,) * (rep.ndim - 2)).astype(bool)
 
+    # all-class prototypes in ONE pass over the (large) teacher reps:
+    # proto_k = sum_n rep_t[n] * low_valid[n, k] / count_k
+    low_valid_all = ((label_onehot_all > 0)
+                     & (low_mask > 0)[..., None]).reshape(-1, num_classes)
+    n_low_all = jnp.sum(low_valid_all.astype(jnp.int32), axis=0)  # [K]
+    protos_all = jnp.einsum(
+        "nc,nk->kc", rep_t_flat.astype(jnp.float32),
+        low_valid_all.astype(jnp.float32),
+        precision=jax.lax.Precision.DEFAULT)
+    protos_all = protos_all / jnp.maximum(n_low_all, 1)[:, None]
+
     losses, valids, has_anchor = [], [], []
     new_bank = memobank
     for i in range(num_classes):
@@ -194,10 +195,9 @@ def compute_contra_memobank_loss(
         negative_mask = high_entropy_mask & (cm_u | cm_l)
 
         # class prototype from teacher features over low-valid pixels
-        lv = low_valid.reshape(-1, 1).astype(jnp.float32)
-        n_low = jnp.sum(lv)
-        proto = jnp.sum(rep_t_flat.astype(jnp.float32) * lv, axis=0) / \
-            jnp.maximum(n_low, 1.0)
+        # (precomputed for all classes in one pass above)
+        n_low = n_low_all[i]
+        proto = protos_all[i]
 
         # enqueue a stratified sample of this step's negatives
         neg_flat = negative_mask.reshape(-1)

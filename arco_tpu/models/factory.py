@@ -28,6 +28,10 @@ def net_factory(net_type: str = "unet", in_chns: int = 1, class_num: int = 3,
     if net_type == "pnet":
         from arco_tpu.models.pnet import PNet2D
         return PNet2D(in_chns=in_chns, num_classes=class_num, dtype=dtype)
+    if net_type == "nnUNet":
+        from arco_tpu.models.nnunet import initialize_network
+        return initialize_network(num_classes=class_num, threeD=False,
+                                  dtype=dtype)
     raise NotImplementedError(
         f"net_type={net_type!r} not available yet in arco_tpu "
         "(reference parity set: unet, enet, unet_ds, unet_cct, unet_urpc, "
@@ -50,6 +54,10 @@ def net_factory_3d(net_type: str = "unet_3D", in_chns: int = 1,
     if net_type == "voxresnet":
         from arco_tpu.models.voxresnet import VoxResNet
         return VoxResNet(in_chns=in_chns, class_num=class_num, dtype=dtype)
+    if net_type == "nnUNet":
+        from arco_tpu.models.nnunet import initialize_network
+        return initialize_network(num_classes=class_num, threeD=True,
+                                  dtype=dtype)
     raise NotImplementedError(
         f"net_type={net_type!r} not available yet in arco_tpu "
         "(reference parity set: unet_3D, attention_unet, voxresnet, vnet, "

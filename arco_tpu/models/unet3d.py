@@ -1,0 +1,159 @@
+"""Çiçek-style 3D U-Net and grid-attention variant, channels-last.
+
+Parity targets:
+- unet_3D (networks/unet_3D.py:20-100): filters [64,128,256,512,1024] /
+  feature_scale, UnetConv3 double-conv blocks (networks/utils.py:99),
+  trilinear-upsample UnetUp3_CT decoder (networks/utils.py:260), dropout 0.3
+  at the bottleneck and before the head.
+- Attention_UNet (networks/attention_unet.py:9-135): same trunk with grid
+  attention gates (GridAttentionBlock3D 'concatenation' mode,
+  networks/grid_attention_layer.py:7-180) on skips 2-4 and a gating signal
+  from the bottleneck.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from arco_tpu.models.layers import max_pool
+from arco_tpu.ops.interpolate import resize_bilinear
+
+
+class UnetConv3(nn.Module):
+    """Double (Conv3 + BN + ReLU) (networks/utils.py:99-133)."""
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        for _ in range(2):
+            x = nn.Conv(self.features, (3, 3, 3), padding="SAME",
+                        dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             dtype=self.dtype)(x)
+            x = nn.relu(x)
+        return x
+
+
+class UnetUp3CT(nn.Module):
+    """Trilinear upsample + concat + UnetConv3 (networks/utils.py:260-278)."""
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, skip, x, train: bool = True):
+        x = resize_bilinear(x, skip.shape[1:-1], align_corners=True)
+        return UnetConv3(self.features, self.dtype)(
+            jnp.concatenate([skip, x], axis=-1), train)
+
+
+class UNet3D(nn.Module):
+    feature_scale: int = 4
+    n_classes: int = 21
+    in_channels: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        filters = [int(f / self.feature_scale)
+                   for f in (64, 128, 256, 512, 1024)]
+        convs = []
+        h = x
+        for f in filters[:4]:
+            h = UnetConv3(f, self.dtype)(h, train)
+            convs.append(h)
+            h = max_pool(h)
+        center = UnetConv3(filters[4], self.dtype)(h, train)
+        center = nn.Dropout(0.3, deterministic=not train)(center)
+
+        feature_map = [center]
+        h = center
+        for f, skip in zip(filters[3::-1], convs[::-1]):
+            h = UnetUp3CT(f, self.dtype)(skip, h, train)
+            feature_map.append(h)
+        h = nn.Dropout(0.3, deterministic=not train)(h)
+        logits = nn.Conv(self.n_classes, (1, 1, 1), dtype=self.dtype)(h)
+        return logits, center, feature_map
+
+
+class GridAttentionBlock3D(nn.Module):
+    """'concatenation' grid attention (grid_attention_layer.py:7-180)."""
+    inter_channels: int
+    sub_sample: Sequence[int] = (2, 2, 2)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, g, train: bool = True):
+        ss = tuple(self.sub_sample)
+        theta_x = nn.Conv(self.inter_channels, ss, strides=ss,
+                          use_bias=False, dtype=self.dtype)(x)
+        phi_g = nn.Conv(self.inter_channels, (1, 1, 1), dtype=self.dtype)(g)
+        phi_g = resize_bilinear(phi_g, theta_x.shape[1:-1],
+                                align_corners=True)
+        f = nn.relu(theta_x + phi_g)
+        psi = nn.Conv(1, (1, 1, 1), dtype=self.dtype)(f)
+        sigm = nn.sigmoid(psi.astype(jnp.float32)).astype(x.dtype)
+        sigm = resize_bilinear(sigm, x.shape[1:-1], align_corners=True)
+        y = sigm * x
+        w = nn.Conv(x.shape[-1], (1, 1, 1), dtype=self.dtype)(y)
+        w = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype)(w)
+        return w, sigm
+
+
+class MultiAttentionBlock(nn.Module):
+    """Gate + combine conv (attention_unet.py:113-135)."""
+    inter_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, g, train: bool = True):
+        gated, _ = GridAttentionBlock3D(self.inter_channels,
+                                        dtype=self.dtype)(x, g, train)
+        h = nn.Conv(x.shape[-1], (1, 1, 1), dtype=self.dtype)(gated)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype)(h)
+        return nn.relu(h)
+
+
+class AttentionUNet3D(nn.Module):
+    feature_scale: int = 4
+    n_classes: int = 21
+    in_channels: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        filters = [int(f / self.feature_scale)
+                   for f in (64, 128, 256, 512, 1024)]
+        convs = []
+        h = x
+        for f in filters[:4]:
+            h = UnetConv3(f, self.dtype)(h, train)
+            convs.append(h)
+            h = max_pool(h)
+        center = UnetConv3(filters[4], self.dtype)(h, train)
+        # gating signal (UnetGridGatingSignal3, networks/utils.py)
+        gate = nn.Conv(filters[4], (1, 1, 1), dtype=self.dtype)(center)
+        gate = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                            dtype=self.dtype)(gate)
+        gate = nn.relu(gate)
+
+        feature_map = [center]
+        g2 = MultiAttentionBlock(filters[3], self.dtype)(convs[3], gate,
+                                                         train)
+        h = UnetUp3CT(filters[3], self.dtype)(g2, center, train)
+        feature_map.append(h)
+        g3 = MultiAttentionBlock(filters[2], self.dtype)(convs[2], h, train)
+        h = UnetUp3CT(filters[2], self.dtype)(g3, h, train)
+        feature_map.append(h)
+        g4 = MultiAttentionBlock(filters[1], self.dtype)(convs[1], h, train)
+        h = UnetUp3CT(filters[1], self.dtype)(g4, h, train)
+        feature_map.append(h)
+        h = UnetUp3CT(filters[0], self.dtype)(convs[0], h, train)
+        feature_map.append(h)
+        logits = nn.Conv(self.n_classes, (1, 1, 1), dtype=self.dtype)(h)
+        return logits, center, feature_map

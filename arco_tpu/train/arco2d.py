@@ -68,22 +68,29 @@ class ArcoState(NamedTuple):
     step: jnp.ndarray
 
 
-def masked_percentile(values, mask, pct):
-    """np.percentile(values[mask], pct) with linear interpolation, on device
+def masked_percentiles(values, mask, pcts):
+    """np.percentile(values[mask], pct) for several pcts with ONE device sort
     (replaces the host sync at train_arco_2d.py:359-371)."""
     flat = values.reshape(-1).astype(jnp.float32)
     m = mask.reshape(-1)
     big = jnp.where(m, flat, jnp.inf)
     sorted_vals = jnp.sort(big)
     n = jnp.sum(m.astype(jnp.int32))
-    rank = pct / 100.0 * jnp.maximum(n - 1, 0).astype(jnp.float32)
-    lo = jnp.floor(rank).astype(jnp.int32)
-    hi = jnp.ceil(rank).astype(jnp.int32)
     size = sorted_vals.shape[0]
-    v_lo = sorted_vals[jnp.clip(lo, 0, size - 1)]
-    v_hi = sorted_vals[jnp.clip(hi, 0, size - 1)]
-    out = v_lo + (v_hi - v_lo) * (rank - lo)
-    return jnp.where(n > 0, out, 0.0)
+    outs = []
+    for pct in pcts:
+        rank = pct / 100.0 * jnp.maximum(n - 1, 0).astype(jnp.float32)
+        lo = jnp.floor(rank).astype(jnp.int32)
+        hi = jnp.ceil(rank).astype(jnp.int32)
+        v_lo = sorted_vals[jnp.clip(lo, 0, size - 1)]
+        v_hi = sorted_vals[jnp.clip(hi, 0, size - 1)]
+        out = v_lo + (v_hi - v_lo) * (rank - lo)
+        outs.append(jnp.where(n > 0, out, 0.0))
+    return outs
+
+
+def masked_percentile(values, mask, pct):
+    return masked_percentiles(values, mask, [pct])[0]
 
 
 def make_arco_modules(model, width: int, height: int, batch_size: int,
@@ -136,7 +143,8 @@ def init_arco_state(rng, modules: ArcoModules, cfg, input_shape, tx,
 
     memobank = create_memobank(
         num_classes=_num_classes_of(modules.model), feat=fused.shape[-1],
-        capacity=cfg.memobank_size, capacity_bg=cfg.memobank_size_bg)
+        capacity=cfg.memobank_size, capacity_bg=cfg.memobank_size_bg,
+        dtype=fused.dtype)
 
     return ArcoState(
         params=params, batch_stats={"model": bs_model},
@@ -216,8 +224,8 @@ def arco_loss_fn(params, state: ArcoState, modules: ArcoModules, cfg, batch,
     entropy = -jnp.sum(prob_u_stu * jnp.log(prob_u_stu + 1e-10), axis=-1)
     valid_u = u_aug_label >= 0
     alpha_t = 20.0 * (1.0 - state.step.astype(jnp.float32) / max_iterations)
-    low_thresh = masked_percentile(entropy, valid_u, alpha_t)
-    high_thresh = masked_percentile(entropy, valid_u, 100.0 - alpha_t)
+    low_thresh, high_thresh = masked_percentiles(
+        entropy, valid_u, [alpha_t, 100.0 - alpha_t])
     low_entropy_mask = (entropy <= low_thresh) & valid_u
     high_entropy_mask = (entropy >= high_thresh) & valid_u
 
