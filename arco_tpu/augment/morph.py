@@ -64,7 +64,16 @@ def _compose(flow1: jnp.ndarray, flow2: jnp.ndarray) -> jnp.ndarray:
 
 def field_exponentiation(duv: jnp.ndarray, nb_steps: int = 8) -> jnp.ndarray:
     """Scaling-and-squaring integration of a velocity field [B, H, W, 2]
-    -> offset field (vectorFieldExponentiation2D, adv_morph.py:266-294)."""
+    -> offset field (vectorFieldExponentiation2D, adv_morph.py:266-294).
+
+    Reference quirk NOT replicated (SURVEY §7.4 policy): the reference's
+    integrate_by_add (adv_morph.py:249-263) mutates its base-grid argument
+    in place, so `phi - grid_wh` at adv_morph.py:293 subtracts
+    grid + duv/2^n instead of the grid — biasing every returned offset by
+    -duv/2^n (~6% of the velocity at the default 8 steps). This
+    implementation returns the mathematically correct integral; the bias is
+    equivalent to a slight epsilon rescale and does not change the
+    augmentation distribution meaningfully."""
     b, h, w, _ = duv.shape
     grid = base_grid(b, h, w)
     phi = grid + duv / (2.0 ** nb_steps)

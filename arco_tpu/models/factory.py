@@ -32,6 +32,22 @@ def net_factory(net_type: str = "unet", in_chns: int = 1, class_num: int = 3,
         from arco_tpu.models.nnunet import initialize_network
         return initialize_network(num_classes=class_num, threeD=False,
                                   dtype=dtype)
+    if net_type == "ViT_Seg":
+        from arco_tpu.models.transunet import VisionTransformerSeg
+        return VisionTransformerSeg(num_classes=class_num, in_chns=in_chns,
+                                    dtype=dtype)
+    if net_type == "efficient_unet":
+        from arco_tpu.models.efficientunet import EffiUNet
+        return EffiUNet(num_classes=class_num, in_chns=in_chns, dtype=dtype)
+    if net_type == "swin_unet":
+        from arco_tpu.models.swin_unet import SwinUnet
+        return SwinUnet(num_classes=class_num, in_chns=in_chns, dtype=dtype)
+    if net_type == "unet_har":
+        from arco_tpu.models.unet2d_variants import UNetHAR
+        return UNetHAR(in_chns=in_chns, class_num=class_num, dtype=dtype)
+    if net_type == "unet_stego":
+        from arco_tpu.models.unet2d_variants import UNetSTEGO
+        return UNetSTEGO(in_chns=in_chns, class_num=class_num, dtype=dtype)
     raise NotImplementedError(
         f"net_type={net_type!r} not available yet in arco_tpu "
         "(reference parity set: unet, enet, unet_ds, unet_cct, unet_urpc, "
