@@ -91,6 +91,15 @@ def train(cfg: TrainConfig, snapshot_path: str):
                             (bs, h, w, cfg.data.in_channels), tx,
                             model_params=model_params,
                             model_batch_stats=model_stats)
+
+    # crash recovery: resume the FULL state (params, EMA, optimizer, queues,
+    # memobank, PRNG) from this experiment's own latest checkpoint — the
+    # elasticity the reference lacks (SURVEY §5 failure-detection row)
+    own_step = ckpt.latest_step(snapshot_path)
+    if own_step:
+        logging.info("resuming full train state from iter_%d", own_step)
+        state = ckpt.restore_state(snapshot_path, own_step, state)
+
     step_fn = make_arco_step(modules, cfg.arco, tx, num_classes,
                              cfg.optim.max_iterations,
                              output_size=cfg.data.patch_size)
@@ -100,7 +109,8 @@ def train(cfg: TrainConfig, snapshot_path: str):
     logger = MetricLogger(snapshot_path)
 
     t0 = time.time()
-    for it, batch in enumerate(pipeline, start=1):
+    start_it = int(state.step)
+    for it, batch in enumerate(pipeline, start=start_it + 1):
         dev_batch = {"image_l": jnp.asarray(batch["image_l"]),
                      "label_l": jnp.asarray(batch["label_l"]),
                      "image_u": jnp.asarray(batch["image_u"])}

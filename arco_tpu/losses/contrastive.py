@@ -212,11 +212,15 @@ def compute_contra_memobank_loss(
             k_anchor, anchor_flat, num_queries, func=func)
         anchor_feat = rep_flat[a_idx]
 
-        # negatives from the bank
+        # negatives from the bank. No random shuffle (a device sort); the
+        # transposed reshape deals every query a strided subset of strata,
+        # so each row still spans the bank's full rank space like the
+        # reference's shuffled draw does.
         bank_count = new_bank.count[i]
         neg_ranks = sampling.draw_indices(
-            k_neg, bank_count, num_queries * num_negatives, func=func)
-        neg_idx = neg_ranks.reshape(num_queries, num_negatives)
+            k_neg, bank_count, num_queries * num_negatives, func=func,
+            shuffle=False)
+        neg_idx = neg_ranks.reshape(num_negatives, num_queries).T
 
         loss_i = infonce(anchor_feat, proto, new_bank.data[i], neg_idx, temp)
 

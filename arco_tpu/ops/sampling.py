@@ -73,12 +73,19 @@ def antithetic_stratified_indices(key, n, num_samples: int,
     return idx
 
 
-def draw_indices(key, n, num_samples: int, func: str = "smc"):
-    """Dispatch on the reference's --func flag (train_arco_2d.py:78)."""
+def draw_indices(key, n, num_samples: int, func: str = "smc",
+                 shuffle: bool = True):
+    """Dispatch on the reference's --func flag (train_arco_2d.py:78).
+
+    The reference shuffles sampled indices (loss_helper_3d.py:165-169);
+    permutation is a device sort, and callers whose loss is permutation-
+    invariant (any CE/mean over the samples) should pass shuffle=False.
+    """
     if func == "asmc":
-        return antithetic_stratified_indices(key, n, num_samples)
+        return antithetic_stratified_indices(key, n, num_samples,
+                                             shuffle=shuffle)
     if func == "smc":
-        return stratified_indices(key, n, num_samples)
+        return stratified_indices(key, n, num_samples, shuffle=shuffle)
     return uniform_indices(key, n, num_samples)
 
 
@@ -95,9 +102,9 @@ def ranks_to_flat(mask_flat: jnp.ndarray, ranks: jnp.ndarray):
 
 
 def sample_from_mask(key, mask_flat: jnp.ndarray, num_samples: int,
-                     func: str = "smc"):
+                     func: str = "smc", shuffle: bool = False):
     """Sample flat indices of valid entries, stratified over the valid
     subsequence. Returns (indices [S], n_valid scalar)."""
     n = jnp.sum(mask_flat.astype(jnp.int32))
-    ranks = draw_indices(key, n, num_samples, func=func)
+    ranks = draw_indices(key, n, num_samples, func=func, shuffle=shuffle)
     return ranks_to_flat(mask_flat, ranks), n
