@@ -67,6 +67,22 @@ def train(cfg: TrainConfig, snapshot_path: str):
     logger = MetricLogger(snapshot_path)
     host_rng = np.random.RandomState(cfg.seed)
 
+    # weak/strong view combinations (pretrain_2D.py:210-225): 0 = identity,
+    # 1 = strong student, 2 = strong teacher, 3 = both; 'strong' is the
+    # RandomColorJitter+RandomNoise stack, applied on device
+    from arco_tpu.augment.photometric import batch_photometric
+
+    @jax.jit
+    def make_views(rng_key, images):
+        k_s, k_t = jax.random.split(rng_key)
+        stu, tea = images, images
+        if cfg.isd.combinations in (1, 3):
+            stu = batch_photometric(k_s, images)
+        if cfg.isd.combinations in (2, 3):
+            tea = batch_photometric(k_t, images)
+        return stu, tea
+
+    view_rng = jax.random.PRNGKey(cfg.seed + 1)
     it = 0
     t0 = time.time()
     while it < cfg.optim.max_iterations:
@@ -74,8 +90,9 @@ def train(cfg: TrainConfig, snapshot_path: str):
             samples = [dataset.get(i, host_rng) for i in idxs]
             images = np.stack([s["image"] for s in samples])
             labels = np.stack([s["label"] for s in samples])
-            batch = {"student_image": jnp.asarray(images),
-                     "teacher_image": jnp.asarray(images),
+            view_rng, k = jax.random.split(view_rng)
+            stu, tea = make_views(k, jnp.asarray(images))
+            batch = {"student_image": stu, "teacher_image": tea,
                      "label": jnp.asarray(labels)}
             state, metrics = step_fn(state, batch)
             it += 1

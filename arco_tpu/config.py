@@ -121,6 +121,12 @@ class ArcoConfig:
     # reference's batch_transform is a passthrough (augment_3d.py:209-226)
     use_photometric: bool = True
     use_adv_morph: bool = True
+    # ablations (reference --combinations: 0 all, 1 no reco, 2 no unsup,
+    # train_arco_2d.py:76) + perf-bisect toggles
+    compute_contrastive: bool = True
+    compute_unsup: bool = True
+    compute_revisit: bool = True
+    use_entropy_split: bool = True
 
 
 @dataclass

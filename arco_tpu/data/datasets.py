@@ -172,6 +172,30 @@ class LAHeartDataset:
                 "label": label.astype(np.int32), "idx": idx}
 
 
+class BraTS2019Dataset(LAHeartDataset):
+    """BraTS 2019 3D volumes (dataloaders/dataset_withAug.py:22-80):
+    `<root>/data/<case>.h5` with train.txt / val.txt lists."""
+
+    def __init__(self, base_dir: str, split: str = "train",
+                 num: Optional[int] = None, patch_size=(96, 96, 96),
+                 transform: bool = True):
+        self.base_dir = base_dir
+        self.split = split
+        self.patch_size = tuple(patch_size)
+        self.transform = transform
+        name = "train.txt" if split == "train" else "val.txt"
+        samples = _read_list(os.path.join(base_dir, name))
+        if num is not None and split == "train":
+            samples = samples[:num]
+        self.sample_list = samples
+
+    def load(self, idx: int):
+        case = self.sample_list[idx]
+        with h5py.File(os.path.join(self.base_dir, "data",
+                                    f"{case}.h5"), "r") as f:
+            return f["image"][:], f["label"][:]
+
+
 def random_rot_flip_3d(rng, image, label):
     """la_heart.py:149-162: rot90 in-plane + random axis flip."""
     k = rng.randint(0, 4)

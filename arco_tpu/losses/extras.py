@@ -201,3 +201,66 @@ def local_con_loss(features, labels, temperature: float = 0.7,
 def weighted_mse_loss(input, target, weight):
     """loss_helper_3d.py:904-907."""
     return jnp.sum(weight * (input - target) ** 2)
+
+
+def criterion(preds, target, aux_weight: float = 0.0,
+              ignore_index: int = 255):
+    """Criterion (loss_helper_3d.py:616-679): CE on the main head plus
+    weighted CE on an optional aux head. preds is logits or an
+    (main, aux) tuple."""
+    from arco_tpu.losses.supervised import cross_entropy
+    if isinstance(preds, (tuple, list)) and aux_weight > 0:
+        main, aux = preds[0], preds[1]
+        return (cross_entropy(main, target, ignore_index=ignore_index)
+                + aux_weight * cross_entropy(aux, target,
+                                             ignore_index=ignore_index))
+    main = preds[0] if isinstance(preds, (tuple, list)) else preds
+    return cross_entropy(main, target, ignore_index=ignore_index)
+
+
+def criterion_ohem(preds, target, aux_weight: float = 0.0,
+                   thresh: float = 0.7, min_kept: int = 100000,
+                   ignore_index: int = 255):
+    """CriterionOhem (loss_helper_3d.py:681-719)."""
+    if isinstance(preds, (tuple, list)) and aux_weight > 0:
+        main, aux = preds[0], preds[1]
+        return (ohem_cross_entropy(main, target, ignore_index, thresh,
+                                   min_kept)
+                + aux_weight * ohem_cross_entropy(aux, target, ignore_index,
+                                                  thresh, min_kept))
+    main = preds[0] if isinstance(preds, (tuple, list)) else preds
+    return ohem_cross_entropy(main, target, ignore_index, thresh, min_kept)
+
+
+def sup_con_seg_loss(features, labels, rng, temperature: float = 0.7,
+                     num_samples: int = 256):
+    """SupConSegLoss (loss_helper_3d.py:1035-1119): pixel-level supervised
+    contrast within a batch. The reference loops over every pixel pair on
+    a downsampled map; here ``num_samples`` pixels are drawn per image and
+    contrasted jointly (static shapes).
+
+    features: [B, *S, C]; labels: [B, *S] int.
+    """
+    b = features.shape[0]
+    c = features.shape[-1]
+    f = features.reshape(b, -1, c)
+    l = labels.reshape(b, -1)
+    m = f.shape[1]
+    idx = jax.random.randint(rng, (b, num_samples), 0, m)
+    fs = jnp.take_along_axis(f, idx[..., None], axis=1).reshape(-1, c)
+    ls = jnp.take_along_axis(l, idx, axis=1).reshape(-1)
+    fs = _l2n(fs)
+    logits = fs @ fs.T / temperature
+    logits = logits - jax.lax.stop_gradient(
+        jnp.max(logits, axis=1, keepdims=True))
+    n = fs.shape[0]
+    same = (ls[:, None] == ls[None, :]) & (ls[:, None] >= 0)
+    not_self = ~jnp.eye(n, dtype=bool)
+    pos_mask = (same & not_self).astype(jnp.float32)
+    exp_logits = jnp.exp(logits) * not_self
+    log_prob = logits - jnp.log(jnp.sum(exp_logits, axis=1, keepdims=True)
+                                + 1e-12)
+    denom = jnp.maximum(jnp.sum(pos_mask, axis=1), 1e-12)
+    mean_log_prob = jnp.sum(pos_mask * log_prob, axis=1) / denom
+    valid = jnp.sum(pos_mask, axis=1) > 0
+    return -jnp.sum(mean_log_prob * valid) / jnp.maximum(jnp.sum(valid), 1)

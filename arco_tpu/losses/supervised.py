@@ -85,6 +85,12 @@ def softmax_kl_loss(input_logits, target_logits):
     return jnp.mean(jnp.sum(q * (logq - logp), axis=-1))
 
 
+def symmetric_mse_loss(input1, input2):
+    """utils/losses.py:125-133: gradients flow to BOTH inputs (unlike
+    softmax_mse where the target is detached); mean squared difference."""
+    return jnp.mean((input1 - input2) ** 2)
+
+
 def entropy_loss(probs, eps: float = 1e-6):
     """Mean pixel entropy (utils/losses.py:7-14)."""
     ent = -jnp.sum(probs * jnp.log(probs + eps), axis=-1)

@@ -207,64 +207,81 @@ def arco_loss_fn(params, state: ArcoState, modules: ArcoModules, cfg, batch,
     pred_all = jnp.concatenate([pred_l, pred_u], axis=0)
 
     # --- losses ----------------------------------------------------------
-    loss_q = revisiting_loss(state.random_pool, rep_u, aug["rep_u_teacher"],
-                             topk=cfg.topk)
+    if cfg.compute_revisit:
+        loss_q = revisiting_loss(state.random_pool, rep_u,
+                                 aug["rep_u_teacher"], topk=cfg.topk)
+    else:
+        loss_q = jnp.array(0.0, jnp.float32)
 
     probs_l = jax.nn.softmax(pred_l.astype(jnp.float32), axis=-1)
     loss_ce = cross_entropy(pred_l, label_l)
     loss_dice = dice_loss(probs_l, label_l, num_classes)
     supervised = loss_ce + loss_dice
 
-    unsup = compute_unsupervised_loss(pred_u, u_aug_label, u_aug_logits,
-                                      cfg.strong_threshold)
+    if cfg.compute_unsup:
+        unsup = compute_unsupervised_loss(pred_u, u_aug_label, u_aug_logits,
+                                          cfg.strong_threshold)
+    else:
+        unsup = jnp.array(0.0, jnp.float32)
 
     # --- entropy split + contrastive (no grad, train_arco_2d.py:344-398) --
-    prob_u_stu = jax.lax.stop_gradient(
-        jax.nn.softmax(pred_u.astype(jnp.float32), axis=-1))
-    entropy = -jnp.sum(prob_u_stu * jnp.log(prob_u_stu + 1e-10), axis=-1)
-    valid_u = u_aug_label >= 0
-    alpha_t = 20.0 * (1.0 - state.step.astype(jnp.float32) / max_iterations)
-    low_thresh, high_thresh = masked_percentiles(
-        entropy, valid_u, [alpha_t, 100.0 - alpha_t])
-    low_entropy_mask = (entropy <= low_thresh) & valid_u
-    high_entropy_mask = (entropy >= high_thresh) & valid_u
+    if cfg.compute_contrastive:
+        valid_u = u_aug_label >= 0
+        if cfg.use_entropy_split:
+            prob_u_stu = jax.lax.stop_gradient(
+                jax.nn.softmax(pred_u.astype(jnp.float32), axis=-1))
+            entropy = -jnp.sum(prob_u_stu * jnp.log(prob_u_stu + 1e-10),
+                               axis=-1)
+            alpha_t = 20.0 * (1.0 - state.step.astype(jnp.float32)
+                              / max_iterations)
+            low_thresh, high_thresh = masked_percentiles(
+                entropy, valid_u, [alpha_t, 100.0 - alpha_t])
+            low_entropy_mask = (entropy <= low_thresh) & valid_u
+            high_entropy_mask = (entropy >= high_thresh) & valid_u
+        else:
+            low_entropy_mask = valid_u
+            high_entropy_mask = valid_u
 
-    ones_l = jnp.ones(label_l.shape, bool)
-    low_mask_all = jnp.concatenate([ones_l, low_entropy_mask], axis=0)
-    high_mask_all = jnp.concatenate([ones_l, high_entropy_mask], axis=0)
+        ones_l = jnp.ones(label_l.shape, bool)
+        low_mask_all = jnp.concatenate([ones_l, low_entropy_mask], axis=0)
+        high_mask_all = jnp.concatenate([ones_l, high_entropy_mask], axis=0)
 
-    spatial = rep_all.shape[1:-1]
-    def to_rep_size(x):
-        if x.shape[1:-1] != spatial:
-            return resize_nearest(x, spatial)
-        return x
-    onehot_l = one_hot(label_l, num_classes)
-    onehot_u = one_hot(u_aug_label, num_classes)
-    label_all = jnp.concatenate([to_rep_size(onehot_l), to_rep_size(onehot_u)],
-                                axis=0)
-    label_l_padded = jnp.concatenate(
-        [to_rep_size(onehot_l), jnp.zeros_like(to_rep_size(onehot_u))], axis=0)
+        spatial = rep_all.shape[1:-1]
+        def to_rep_size(x):
+            if x.shape[1:-1] != spatial:
+                return resize_nearest(x, spatial)
+            return x
+        onehot_l = one_hot(label_l, num_classes)
+        onehot_u = one_hot(u_aug_label, num_classes)
+        label_all = jnp.concatenate(
+            [to_rep_size(onehot_l), to_rep_size(onehot_u)], axis=0)
+        label_l_padded = jnp.concatenate(
+            [to_rep_size(onehot_l), jnp.zeros_like(to_rep_size(onehot_u))],
+            axis=0)
 
-    prob_teacher_all = jnp.concatenate(
-        [aug["prob_l_teacher"], aug["prob_u_teacher"]], axis=0)
-    rank_all = descending_rank(prob_teacher_all)
-    b_l = image_l.shape[0]
-    is_labeled = jnp.concatenate([jnp.ones((b_l,), bool),
-                                  jnp.zeros((u_aug_data.shape[0],), bool)])
-    rep_teacher_all = jnp.concatenate(
-        [aug["rep_l_teacher"], aug["rep_u_teacher"]], axis=0)
+        prob_teacher_all = jnp.concatenate(
+            [aug["prob_l_teacher"], aug["prob_u_teacher"]], axis=0)
+        rank_all = descending_rank(prob_teacher_all)
+        b_l = image_l.shape[0]
+        is_labeled = jnp.concatenate([jnp.ones((b_l,), bool),
+                                      jnp.zeros((u_aug_data.shape[0],),
+                                                bool)])
+        rep_teacher_all = jnp.concatenate(
+            [aug["rep_l_teacher"], aug["rep_u_teacher"]], axis=0)
 
-    new_bank, reco = compute_contra_memobank_loss(
-        aug["rng_contrastive"], rep_all, label_all, prob_teacher_all,
-        rank_all, is_labeled, label_l_padded,
-        to_rep_size(low_mask_all[..., None].astype(jnp.float32))[..., 0],
-        to_rep_size(high_mask_all[..., None].astype(jnp.float32))[..., 0],
-        rep_teacher_all, state.memobank,
-        delta_n=cfg.strong_threshold_u2pl, func=cfg.func,
-        num_queries=cfg.num_queries, num_negatives=cfg.num_negatives,
-        temp=cfg.temp, low_rank=cfg.low_rank, high_rank=cfg.high_rank,
-        current_class_threshold=cfg.current_class_threshold,
-        enqueue_per_class=cfg.memobank_enqueue)
+        new_bank, reco = compute_contra_memobank_loss(
+            aug["rng_contrastive"], rep_all, label_all, prob_teacher_all,
+            rank_all, is_labeled, label_l_padded,
+            to_rep_size(low_mask_all[..., None].astype(jnp.float32))[..., 0],
+            to_rep_size(high_mask_all[..., None].astype(jnp.float32))[..., 0],
+            rep_teacher_all, state.memobank,
+            delta_n=cfg.strong_threshold_u2pl, func=cfg.func,
+            num_queries=cfg.num_queries, num_negatives=cfg.num_negatives,
+            temp=cfg.temp, low_rank=cfg.low_rank, high_rank=cfg.high_rank,
+            current_class_threshold=cfg.current_class_threshold,
+            enqueue_per_class=cfg.memobank_enqueue)
+    else:
+        new_bank, reco = state.memobank, jnp.array(0.0, jnp.float32)
 
     # --- equivariance (train_arco_2d.py:404-423; the 3D trainer computes it
     # for logging but excludes it from the total, train_arco_3d.py:390-391) --
