@@ -70,17 +70,23 @@ def create_memobank(num_classes: int, feat: int, capacity: int = 30000,
 
 def _bank_enqueue(bank: MemoBank, cls: int, keys: jnp.ndarray, enable):
     """Enqueue [B, feat] keys into class ``cls`` with wraparound at the
-    class's own capacity; no-op when ``enable`` is False."""
+    class's own capacity; no-op when ``enable`` is False.
+
+    Implemented with lax.cond so the untaken branch costs nothing — a
+    jnp.where over the scattered bank would materialize two full copies of
+    the (large) bank array per class per step."""
     cap = bank.capacities[cls]
     b = keys.shape[0]
-    idx = (bank.ptr[cls] + jnp.arange(b, dtype=jnp.int32)) % cap
-    written = bank.data.at[cls, idx].set(keys.astype(bank.data.dtype))
-    data = jnp.where(enable, written, bank.data)
-    ptr = bank.ptr.at[cls].set(
-        jnp.where(enable, (bank.ptr[cls] + b) % cap, bank.ptr[cls]))
-    count = bank.count.at[cls].set(
-        jnp.where(enable, jnp.minimum(bank.count[cls] + b, cap),
-                  bank.count[cls]))
+
+    def write(operand):
+        data, ptr, count = operand
+        idx = (ptr[cls] + jnp.arange(b, dtype=jnp.int32)) % cap
+        return (data.at[cls, idx].set(keys.astype(data.dtype)),
+                ptr.at[cls].set((ptr[cls] + b) % cap),
+                count.at[cls].set(jnp.minimum(count[cls] + b, cap)))
+
+    data, ptr, count = jax.lax.cond(
+        enable, write, lambda o: o, (bank.data, bank.ptr, bank.count))
     return bank._replace(data=data, ptr=ptr, count=count)
 
 

@@ -154,13 +154,15 @@ def sup_con_loss(features, labels=None, temperature: float = 0.07,
     features: [B, n_views, C] (L2-normalized inside); labels: [B] or None
     (None -> SimCLR: positives are other views of the same sample)."""
     b, v, c = features.shape
-    feats = _l2n(features).reshape(b * v, c)
+    # view-major stacking (torch.cat(torch.unbind(features, 1)) order):
+    # row index = view * B + sample, consistent with the tiled mask blocks
+    feats = _l2n(features).transpose(1, 0, 2).reshape(v * b, c)
     if labels is None:
         mask = jnp.eye(b)
     else:
         labels = labels.reshape(b, 1)
         mask = (labels == labels.T).astype(jnp.float32)
-    mask = jnp.tile(mask, (v, v))                     # [BV, BV]
+    mask = jnp.tile(mask, (v, v))                     # [VB, VB]
 
     anchor = feats if contrast_mode == "all" else feats[:b]
     logits = anchor @ feats.T / temperature

@@ -63,6 +63,10 @@ def net_factory_3d(net_type: str = "unet_3D", in_chns: int = 1,
     if net_type == "unet_3D":
         from arco_tpu.models.unet3d import UNet3D
         return UNet3D(in_channels=in_chns, n_classes=class_num, dtype=dtype)
+    if net_type == "unet_3D_dv_semi":
+        from arco_tpu.models.unet3d import UNet3DDVSemi
+        return UNet3DDVSemi(in_channels=in_chns, n_classes=class_num,
+                            dtype=dtype)
     if net_type == "attention_unet":
         from arco_tpu.models.unet3d import AttentionUNet3D
         return AttentionUNet3D(in_channels=in_chns, n_classes=class_num,

@@ -79,6 +79,46 @@ class UNet3D(nn.Module):
         return logits, center, feature_map
 
 
+class UNet3DDVSemi(nn.Module):
+    """Deep-supervised semi-supervised 3D U-Net
+    (networks/unet_3D_dv_semi.py:13-112): the UNet3D trunk with per-scale
+    dsv heads (1x1x1 conv + trilinear upsample to full size); returns the
+    four supervision outputs fine->coarse."""
+    feature_scale: int = 4
+    n_classes: int = 21
+    in_channels: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        filters = [int(f / self.feature_scale)
+                   for f in (64, 128, 256, 512, 1024)]
+        size = x.shape[1:-1]
+        convs = []
+        h = x
+        for f in filters[:4]:
+            h = UnetConv3(f, self.dtype)(h, train)
+            convs.append(h)
+            h = max_pool(h)
+        center = UnetConv3(filters[4], self.dtype)(h, train)
+        center = nn.Dropout(0.3, deterministic=not train)(center)
+
+        ups = []
+        h = center
+        for f, skip in zip(filters[3::-1], convs[::-1]):
+            h = UnetUp3CT(f, self.dtype)(skip, h, train)
+            ups.append(h)
+
+        outs = []
+        for k, u in enumerate(ups[::-1]):   # fine -> coarse supervision
+            dsv = nn.Conv(self.n_classes, (1, 1, 1), dtype=self.dtype,
+                          name=f"dsv{k + 1}")(u)
+            if dsv.shape[1:-1] != size:
+                dsv = resize_bilinear(dsv, size, align_corners=True)
+            outs.append(dsv)
+        return tuple(outs)
+
+
 class GridAttentionBlock3D(nn.Module):
     """'concatenation' grid attention (grid_attention_layer.py:7-180)."""
     inter_channels: int

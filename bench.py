@@ -51,13 +51,15 @@ def bench_arco_step(steps: int = 20, warmup: int = 2, batch: int = 4,
     batch_d = {"image_l": jnp.asarray(image), "label_l": jnp.asarray(label),
                "image_u": jnp.asarray(image)}
 
+    # a scalar fetch is the only reliable fence on tunneled TPU backends
+    # (block_until_ready can return before remote execution completes)
     for _ in range(warmup):
         state, metrics = step_fn(state, batch_d)
-    jax.block_until_ready(metrics["loss"])
+    _ = float(metrics["loss"])
     t0 = time.perf_counter()
     for _ in range(steps):
         state, metrics = step_fn(state, batch_d)
-    jax.block_until_ready(metrics["loss"])
+    _ = float(metrics["loss"])
     dt = time.perf_counter() - t0
     images_per_step = 2 * batch  # labeled + unlabeled streams
     return steps * images_per_step / dt, hw, batch

@@ -34,13 +34,15 @@ def run_variant(name, cfg, n=8):
     image = jnp.asarray(label[..., None].astype(np.float32) / (K - 1))
     batch = {"image_l": image, "label_l": jnp.asarray(label),
              "image_u": image}
+    # NOTE: on the tunneled backend block_until_ready does not synchronize;
+    # a scalar fetch (float()) is the only reliable fence.
     for _ in range(2):
         state, m = step(state, batch)
-    jax.block_until_ready(m["loss"])
+    _ = float(m["loss"])
     t0 = time.perf_counter()
     for _ in range(n):
         state, m = step(state, batch)
-    jax.block_until_ready(m["loss"])
+    _ = float(m["loss"])
     dt = (time.perf_counter() - t0) / n * 1000
     print(f"{name:28s}: {dt:8.1f} ms/step", flush=True)
     return dt

@@ -58,12 +58,12 @@ class TestSupCon:
         labels = rng.randint(0, 3, size=(6,))
         ours = float(extras.sup_con_loss(jnp.array(feats), jnp.array(labels),
                                          temperature=0.1))
-        # torch direct computation
+        # torch direct computation (Khosla et al. canonical ordering)
         f = torch.from_numpy(feats)
         f = F.normalize(f, dim=-1)
         lt = torch.from_numpy(labels)
         b, v, c = f.shape
-        feat = f.reshape(b * v, c)
+        feat = torch.cat(torch.unbind(f, dim=1), dim=0)
         mask = (lt.unsqueeze(0) == lt.unsqueeze(1)).float().repeat(v, v)
         logits = feat @ feat.T / 0.1
         logits = logits - logits.max(dim=1, keepdim=True)[0].detach()
