@@ -31,6 +31,10 @@ def main(argv=None):
     p.add_argument("--iteration", type=int, default=None,
                    help="checkpoint iteration; default = latest")
     p.add_argument("--input_size", type=int, nargs=2, default=[256, 256])
+    p.add_argument("--save_predictions", type=int, default=0,
+                   help="write <case>_pred/_img/_gt volumes next to the "
+                        "snapshot (npz; .nii.gz when nibabel is available) "
+                        "— test_2D.py:93-101 parity")
     args = p.parse_args(argv)
 
     snapshot = os.path.join(
@@ -59,8 +63,34 @@ def main(argv=None):
         idx = dataset.sample_list.index(case)
         return dataset.load(idx)
 
-    result = evaluate_2d(dataset.sample_list, load, predict,
-                         args.num_classes, tuple(args.input_size))
+    save_dir = None
+    if args.save_predictions:
+        save_dir = os.path.join(
+            args.snapshot_dir,
+            f"{args.exp}_{args.labeled_num}_labeledfinal",
+            f"{args.model}_predictions")
+        os.makedirs(save_dir, exist_ok=True)
+
+    if save_dir:
+        from arco_tpu.eval.slice2d import test_single_volume_2d
+        from arco_tpu.utils.volume_io import save_volume
+        all_metrics = []
+        for case in dataset.sample_list:
+            image, label = load(case)
+            metrics, pred = test_single_volume_2d(
+                image, label, predict, args.num_classes,
+                tuple(args.input_size))
+            save_volume(os.path.join(save_dir, f"{case}_pred"), pred)
+            save_volume(os.path.join(save_dir, f"{case}_img"), image)
+            save_volume(os.path.join(save_dir, f"{case}_gt"), label)
+            all_metrics.append(metrics)
+        import numpy as _np
+        arr = _np.asarray(all_metrics)
+        result = {"per_class": arr.mean(axis=0),
+                  "mean": arr.mean(axis=(0, 1)), "raw": arr}
+    else:
+        result = evaluate_2d(dataset.sample_list, load, predict,
+                             args.num_classes, tuple(args.input_size))
     per_class = result["per_class"].tolist()
     mean = result["mean"].tolist()
     print(json.dumps({"iteration": step, "per_class": per_class,

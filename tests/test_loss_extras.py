@@ -72,7 +72,9 @@ class TestSupCon:
         exp_logits = logits.exp() * self_mask
         log_prob = logits - exp_logits.sum(1, keepdim=True).log()
         mlpp = (mask * log_prob).sum(1) / mask.sum(1).clamp(min=1e-12)
-        ref = -(mlpp).mean()
+        # reference SupConLoss scales by temperature/base_temperature
+        # (loss_helper_3d.py:1121-1192, base_temperature=0.07)
+        ref = -(0.1 / 0.07) * mlpp.mean()
         np.testing.assert_allclose(ours, float(ref), rtol=1e-3)
 
     def test_local_con_runs(self, rng):
