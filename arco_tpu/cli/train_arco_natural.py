@@ -1,0 +1,113 @@
+"""ARCO training on natural images (Cityscapes / Pascal VOC).
+
+The reference ships the Cityscapes/Pascal data plumbing
+(dataset/build_dataset.py) and DeepLab models but no natural-image trainer
+in this snapshot (SURVEY §0); this entry point closes that gap by running
+the same rank-generic ARCO step over the natural-image pipeline with a
+3-channel U-Net backbone (DeepLab can be slotted in once its feature
+pyramid adapter lands).
+
+    python -m arco_tpu.cli.train_arco_natural --root_path ../data/pascal \
+        --dataset pascal --label_num 5
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from arco_tpu.config import ArcoConfig
+from arco_tpu.data.natural import NaturalImageDataset, class_balanced_idx
+from arco_tpu.data.pipeline import TwoStreamPipeline
+from arco_tpu.models import net_factory
+from arco_tpu.train import checkpoint as ckpt
+from arco_tpu.train.arco2d import (init_arco_state, make_arco_modules,
+                                   make_arco_step)
+from arco_tpu.train.schedule import make_optimizer
+from arco_tpu.utils.logging import MetricLogger
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--root_path", type=str, required=True)
+    p.add_argument("--dataset", type=str, default="pascal",
+                   choices=["pascal", "cityscapes"])
+    p.add_argument("--label_num", type=int, default=5)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--max_iterations", type=int, default=40000)
+    p.add_argument("--base_lr", type=float, default=0.01)
+    p.add_argument("--seed", type=int, default=1337)
+    p.add_argument("--snapshot_dir", type=str, default="../model")
+    p.add_argument("--exp", type=str, default="natural/arco")
+    p.add_argument("--apply_aug", type=str, default="cutmix")
+    args = p.parse_args(argv)
+
+    defaults = NaturalImageDataset.DEFAULTS[args.dataset]
+    num_classes = defaults["num_classes"]
+    crop = defaults["crop_size"]
+
+    snapshot_path = os.path.join(args.snapshot_dir,
+                                 f"{args.exp}_{args.label_num}_labeled",
+                                 "unet")
+    os.makedirs(snapshot_path, exist_ok=True)
+    logging.basicConfig(filename=os.path.join(snapshot_path, "log.txt"),
+                        level=logging.INFO)
+    logging.getLogger().addHandler(logging.StreamHandler(sys.stdout))
+
+    base = NaturalImageDataset(args.root_path, args.dataset, "train")
+    labeled_idx, unlabeled_idx = class_balanced_idx(
+        lambda i: base.load(i)[1], range(len(base)), num_classes,
+        args.label_num, seed=args.seed)
+    ds_l = NaturalImageDataset(args.root_path, args.dataset, "train",
+                               idx_list=[base.idx_list[i]
+                                         for i in labeled_idx])
+    ds_u = NaturalImageDataset(args.root_path, args.dataset, "train",
+                               idx_list=[base.idx_list[i]
+                                         for i in unlabeled_idx])
+
+    cfg = ArcoConfig(apply_aug=args.apply_aug)
+    model = net_factory("unet", in_chns=3, class_num=num_classes,
+                        dtype=jnp.bfloat16)
+    modules = make_arco_modules(model, crop[1], crop[0],
+                                batch_size=args.batch_size,
+                                dtype=jnp.bfloat16)
+    tx = make_optimizer(args.base_lr, args.max_iterations)
+    state = init_arco_state(
+        jax.random.PRNGKey(args.seed), modules, cfg,
+        (args.batch_size,) + crop + (3,), tx)
+    step_fn = make_arco_step(modules, cfg, tx, num_classes,
+                             args.max_iterations)
+
+    pipeline = TwoStreamPipeline(ds_l, ds_u, args.batch_size,
+                                 seed=args.seed)
+    logger = MetricLogger(snapshot_path)
+    t0 = time.time()
+    for it, batch in enumerate(pipeline, start=1):
+        dev = {"image_l": jnp.asarray(batch["image_l"]),
+               "label_l": jnp.asarray(batch["label_l"]),
+               "image_u": jnp.asarray(batch["image_u"])}
+        state, metrics = step_fn(state, dev)
+        if it % 20 == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            ips = 20 * args.batch_size * 2 / (time.time() - t0)
+            t0 = time.time()
+            logger.log(it, {**m, "images_per_sec": ips})
+            logging.info("iter %d loss %.4f (%.1f img/s)", it, m["loss"],
+                         ips)
+        if it % 1000 == 0:
+            ckpt.save_state(snapshot_path, it, state)
+        if it >= args.max_iterations:
+            break
+    pipeline.close()
+    ckpt.save_state(snapshot_path, int(state.step), state)
+
+
+if __name__ == "__main__":
+    main()
