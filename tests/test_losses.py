@@ -202,7 +202,7 @@ class TestContrastive:
         idx = rng.randint(0, cap, size=(q, n)).astype(np.int32)
         ours = contrastive.sampled_infonce(
             jnp.array(anchor), jnp.array(proto), jnp.array(bank),
-            jnp.array(idx), temp=0.5, block_q=4)
+            jnp.array(idx), temp=0.5)
         # direct torch computation (loss_helper_3d.py:497-506)
         at = torch.from_numpy(anchor)
         allf = torch.cat([torch.from_numpy(proto)[None].expand(q, 1, c),
