@@ -118,6 +118,18 @@ def bench_torch_cpu_proxy(hw: int = 256, batch: int = 4, k: int = 4,
                           nesterov=True, weight_decay=1e-4)
     x = torch.randn(batch, 1, hw, hw)
     y = torch.randint(0, k, (batch, hw, hw))
+
+    # guard: on a 1-core host a full proxy step can take minutes; project
+    # from one forward and skip if a step would exceed the budget
+    t0 = time.perf_counter()
+    with torch.no_grad():
+        net(x)
+    one_fwd = time.perf_counter() - t0
+    if one_fwd * 14 * steps > 240:   # ~6 fwd + backward ~ 14 fwd-equivalents
+        steps = 1
+        if one_fwd * 14 > 240:
+            return None
+
     t0 = time.perf_counter()
     for _ in range(steps):
         loss = 0.0
