@@ -1,0 +1,77 @@
+"""Natural-image (Cityscapes/Pascal) evaluation: mean IoU / per-class IoU.
+
+Reference parity: the snapshot ships the natural-image data pipeline and
+IoU utilities (dataloaders/utils.py:145-171) but no eval script; this
+entry point evaluates a trained checkpoint with the standard mIoU protocol.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from arco_tpu.data.natural import NaturalImageDataset
+from arco_tpu.models import net_factory
+from arco_tpu.train import checkpoint as ckpt
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--root_path", type=str, required=True)
+    p.add_argument("--dataset", type=str, default="pascal",
+                   choices=["pascal", "cityscapes"])
+    p.add_argument("--model", type=str, default="unet")
+    p.add_argument("--label_num", type=int, default=5)
+    p.add_argument("--snapshot_dir", type=str, default="../model")
+    p.add_argument("--exp", type=str, default="natural/arco")
+    p.add_argument("--iteration", type=int, default=None)
+    args = p.parse_args(argv)
+
+    defaults = NaturalImageDataset.DEFAULTS[args.dataset]
+    num_classes = defaults["num_classes"]
+
+    snapshot = os.path.join(args.snapshot_dir,
+                            f"{args.exp}_{args.label_num}_labeled",
+                            args.model)
+    step = args.iteration or ckpt.latest_step(snapshot)
+    if step is None:
+        raise SystemExit(f"no checkpoint under {snapshot}")
+    params, stats = ckpt.load_model_params(snapshot, step, None, None)
+
+    model = net_factory(args.model, in_chns=3, class_num=num_classes)
+
+    @jax.jit
+    def predict(x):
+        variables = {"params": params}
+        if stats:
+            variables["batch_stats"] = stats
+        logits, _, _ = model.apply(variables, x, train=False,
+                                   rngs={"dropout": jax.random.PRNGKey(0)})
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    ds = NaturalImageDataset(args.root_path, args.dataset, "val")
+    inter = np.zeros(num_classes, np.int64)
+    union = np.zeros(num_classes, np.int64)
+    rng = np.random.RandomState(0)
+    for i in range(len(ds)):
+        sample = ds.get(i, rng)
+        pred = np.asarray(predict(jnp.asarray(sample["image"][None])))[0]
+        label = sample["label"]
+        valid = label >= 0
+        for c in range(num_classes):
+            pc = (pred == c) & valid
+            lc = label == c
+            inter[c] += np.logical_and(pc, lc).sum()
+            union[c] += np.logical_or(pc, lc).sum()
+    iou = np.where(union > 0, inter / np.maximum(union, 1), np.nan)
+    print(json.dumps({"iteration": step, "miou": float(np.nanmean(iou)),
+                      "per_class_iou": iou.tolist()}))
+
+
+if __name__ == "__main__":
+    main()

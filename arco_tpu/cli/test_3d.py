@@ -31,6 +31,9 @@ def main(argv=None):
     p.add_argument("--stride_xy", type=int, default=18)
     p.add_argument("--stride_z", type=int, default=4)
     p.add_argument("--nms", type=int, default=0)
+    p.add_argument("--device_eval", type=int, default=1,
+                   help="1: compile the whole sliding-window case on device "
+                        "(eval/sliding_window_device.py); 0: host-batched")
     args = p.parse_args(argv)
 
     snapshot = os.path.join(
@@ -58,9 +61,31 @@ def main(argv=None):
         idx = dataset.sample_list.index(case)
         return dataset.load(idx)
 
-    result = evaluate_3d(dataset.sample_list, load, predict,
-                         args.num_classes, tuple(args.patch_size),
-                         args.stride_xy, args.stride_z, use_nms=bool(args.nms))
+    if args.device_eval:
+        import numpy as np
+        from arco_tpu.eval.sliding_window import (
+            largest_connected_component)
+        from arco_tpu.eval.sliding_window_device import \
+            test_single_case_3d_device
+        from arco_tpu.utils.metrics import calculate_metric_percase
+        metrics = []
+        for case in dataset.sample_list:
+            image, label = load(case)
+            pred, _ = test_single_case_3d_device(
+                predict, image, args.stride_xy, args.stride_z,
+                tuple(args.patch_size), args.num_classes)
+            if args.nms:
+                pred = largest_connected_component(pred)
+            metrics.append([calculate_metric_percase(pred == c, label == c)
+                            for c in range(1, args.num_classes)])
+        arr = np.asarray(metrics)
+        result = {"per_class": arr.mean(axis=0),
+                  "mean": arr.mean(axis=(0, 1)), "raw": arr}
+    else:
+        result = evaluate_3d(dataset.sample_list, load, predict,
+                             args.num_classes, tuple(args.patch_size),
+                             args.stride_xy, args.stride_z,
+                             use_nms=bool(args.nms))
     mean = result["mean"].tolist()
     print(json.dumps({"iteration": step, "mean_dice": mean[0],
                       "mean_jc": mean[1], "mean_hd95": mean[2],
