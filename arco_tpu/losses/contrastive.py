@@ -97,7 +97,8 @@ def _l2_normalize(x, axis=-1, eps=1e-12):
     return (x.astype(jnp.float32) * jax.lax.rsqrt(n2 + eps)).astype(x.dtype)
 
 
-def sampled_infonce(anchor, proto, bank_rows, neg_idx, temp: float):
+def sampled_infonce(anchor, proto, bank_rows, neg_idx, temp: float,
+                    bank_normalized: bool = False):
     """CE over cosine similarities without gathering key *vectors* at all.
 
     anchor:    [Q, C] student anchor features
@@ -116,7 +117,9 @@ def sampled_infonce(anchor, proto, bank_rows, neg_idx, temp: float):
     """
     a_n = _l2_normalize(anchor)
     p_n = _l2_normalize(proto[None, :])[0]
-    bank_n = _l2_normalize(bank_rows)
+    # when keys were L2-normalized at enqueue time the per-step pass over
+    # the (large) bank is skipped entirely
+    bank_n = bank_rows if bank_normalized else _l2_normalize(bank_rows)
 
     pos_logit = jnp.matmul(a_n, p_n,
                            preferred_element_type=jnp.float32) / temp  # [Q]
@@ -205,11 +208,14 @@ def compute_contra_memobank_loss(
         n_low = n_low_all[i]
         proto = protos_all[i]
 
-        # enqueue a stratified sample of this step's negatives
+        # enqueue a stratified sample of this step's negatives, stored
+        # L2-NORMALIZED so the loss never has to re-normalize the bank
+        # (the reference normalizes raw keys at use time inside
+        # cosine_similarity, loss_helper_3d.py:503 — same math)
         neg_flat = negative_mask.reshape(-1)
         enq_idx, n_neg_pix = sampling.sample_from_mask(
             k_enq, neg_flat, enqueue_per_class, func="smc")
-        keys = rep_t_flat[enq_idx]
+        keys = _l2_normalize(rep_t_flat[enq_idx])
         new_bank = _bank_enqueue(new_bank, i, keys, enable=n_neg_pix > 0)
 
         # anchors (stratified over the valid-pixel sequence)
@@ -228,7 +234,12 @@ def compute_contra_memobank_loss(
             shuffle=False)
         neg_idx = neg_ranks.reshape(num_negatives, num_queries).T
 
-        loss_i = infonce(anchor_feat, proto, new_bank.data[i], neg_idx, temp)
+        if infonce is sampled_infonce:
+            loss_i = infonce(anchor_feat, proto, new_bank.data[i], neg_idx,
+                             temp, bank_normalized=True)
+        else:
+            loss_i = infonce(anchor_feat, proto, new_bank.data[i], neg_idx,
+                             temp)
 
         valids.append(n_low > 0)
         has_anchor.append((n_anchor > 0) & (bank_count > 0))
