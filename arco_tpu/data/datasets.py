@@ -73,14 +73,21 @@ class SliceDataset:
         self.output_size = tuple(output_size)
         self.transform = transform
         if split == "train":
+            # ACDC uses train_slices.list; MMWHS uses train_slices.txt with
+            # ".h5" suffixes (dataloaders/dataset.py:51-66)
             list_path = os.path.join(base_dir,
                                      list_name or "train_slices.list")
-            samples = _read_list(list_path)
+            if list_name is None and not os.path.exists(list_path):
+                list_path = os.path.join(base_dir, "train_slices.txt")
+            samples = [s[:-3] if s.endswith(".h5") else s
+                       for s in _read_list(list_path)]
             if index is not None:
                 samples = samples[:index] if label_type == 1 else samples[index:]
         else:
-            samples = _read_list(os.path.join(base_dir,
-                                              list_name or "val.list"))
+            list_path = os.path.join(base_dir, list_name or "val.list")
+            if list_name is None and not os.path.exists(list_path):
+                list_path = os.path.join(base_dir, "test_vol.txt")
+            samples = _read_list(list_path)
         self.sample_list = samples
 
     def __len__(self):
