@@ -1,0 +1,101 @@
+"""Import reference PyTorch checkpoints into arco_tpu.
+
+Users of the reference hold ``iter_<N>.pth`` U-Net state_dicts
+(train_arco_2d.py:462-470); this module converts them to flax
+(params, batch_stats) for the arco_tpu UNet so training/eval can continue
+here without retraining stage 1.
+
+Weight layout conversions (validated to 0 ulp against torch ops):
+- Conv2d      [O, I, kh, kw]  -> HWIO [kh, kw, I, O]
+- ConvTranspose2d [I, O, kh, kw] -> flipped HWIO
+  ``w.transpose(2, 3, 0, 1)[::-1, ::-1]`` (lax.conv_transpose places an
+  unflipped kernel; torch's transposed conv is gradient-of-conv)
+- BatchNorm2d weight/bias/running_mean/running_var ->
+  scale/bias + batch_stats mean/var
+
+Reference module layout (networks/unetWithArgs.py):
+  encoder.in_conv.conv_conv.{0 conv,1 bn,4 conv,5 bn}
+  encoder.down{k}.maxpool_conv.1.conv_conv.{0,1,4,5}
+  decoder.up{k}.up (ConvTranspose2d), decoder.up{k}.conv.conv_conv.{...}
+  decoder.out_conv
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def _conv(sd, prefix):
+    w = np.asarray(sd[f"{prefix}.weight"])
+    out = {"kernel": w.transpose(2, 3, 1, 0)}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{prefix}.bias"])
+    return out
+
+
+def _convT(sd, prefix):
+    w = np.asarray(sd[f"{prefix}.weight"])
+    kernel = w.transpose(2, 3, 0, 1)[::-1, ::-1].copy()
+    out = {"kernel": kernel}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{prefix}.bias"])
+    return out
+
+
+def _bn(sd, prefix):
+    params = {"scale": np.asarray(sd[f"{prefix}.weight"]),
+              "bias": np.asarray(sd[f"{prefix}.bias"])}
+    stats = {"mean": np.asarray(sd[f"{prefix}.running_mean"]),
+             "var": np.asarray(sd[f"{prefix}.running_var"])}
+    return params, stats
+
+
+def _conv_block(sd, prefix):
+    """conv_conv.{0 conv,1 bn,4 conv,5 bn} -> ConvBlock2D tree."""
+    params, stats = {}, {}
+    for j, idx in enumerate((0, 4)):
+        bn_p, bn_s = _bn(sd, f"{prefix}.conv_conv.{idx + 1}")
+        params[f"ConvBNAct_{j}"] = {
+            "Conv_0": _conv(sd, f"{prefix}.conv_conv.{idx}"),
+            "BatchNorm_0": bn_p}
+        stats[f"ConvBNAct_{j}"] = {"BatchNorm_0": bn_s}
+    return params, stats
+
+
+def convert_unet_state_dict(sd: Dict) -> Tuple[Dict, Dict]:
+    """Reference UNet state_dict -> (params, batch_stats) for
+    arco_tpu.models.unet2d.UNet."""
+    sd = {k: v.cpu().numpy() if hasattr(v, "cpu") else np.asarray(v)
+          for k, v in sd.items()}
+    enc_p, enc_s = {}, {}
+    p, s = _conv_block(sd, "encoder.in_conv")
+    enc_p["ConvBlock2D_0"], enc_s["ConvBlock2D_0"] = p, s
+    for k in range(1, 5):
+        p, s = _conv_block(sd, f"encoder.down{k}.maxpool_conv.1")
+        enc_p[f"ConvBlock2D_{k}"], enc_s[f"ConvBlock2D_{k}"] = p, s
+
+    dec_p, dec_s = {}, {}
+    for k in range(1, 5):
+        # UpBlock's actual path is conv1x1 + bilinear upsample
+        # (unetWithArgs.py:71-76; bilinear=False is never wired through)
+        dec_p[f"BilinearUp_{k - 1}"] = {
+            "Conv_0": _conv(sd, f"decoder.up{k}.conv1x1")}
+        p, s = _conv_block(sd, f"decoder.up{k}.conv")
+        dec_p[f"ConvBlock2D_{k - 1}"], dec_s[f"ConvBlock2D_{k - 1}"] = p, s
+    dec_p["Conv_0"] = _conv(sd, "decoder.out_conv")
+
+    params = {"Encoder_0": enc_p, "Decoder_0": dec_p}
+    batch_stats = {"Encoder_0": enc_s, "Decoder_0": dec_s}
+    import jax.numpy as jnp
+    to_jnp = lambda t: {k: to_jnp(v) if isinstance(v, dict)
+                        else jnp.asarray(v) for k, v in t.items()}
+    return to_jnp(params), to_jnp(batch_stats)
+
+
+def load_reference_checkpoint(path: str):
+    """Load an iter_<N>.pth file and convert (requires torch)."""
+    import torch
+    sd = torch.load(path, map_location="cpu")
+    return convert_unet_state_dict(sd)

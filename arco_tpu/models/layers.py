@@ -65,6 +65,26 @@ def max_pool(x, window: int = 2):
     return nn.max_pool(x, (window,) * nd, strides=(window,) * nd)
 
 
+class BilinearUp(nn.Module):
+    """1x1 conv + 2x bilinear upsample (align_corners=True).
+
+    This is the path the reference UNet ACTUALLY takes: Decoder builds
+    UpBlock without passing bilinear (unetWithArgs.py:130-138), so the
+    UpBlock default bilinear=True applies (conv1x1 + nn.Upsample,
+    unetWithArgs.py:71-76) even though the UNet params dict says
+    'bilinear': False (:317) — that flag is stored but never used."""
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from arco_tpu.ops.interpolate import resize_bilinear
+        nd = x.ndim - 2
+        x = nn.Conv(self.features, (1,) * nd, dtype=self.dtype)(x)
+        return resize_bilinear(x, tuple(2 * s for s in x.shape[1:-1]),
+                               align_corners=True)
+
+
 class ConvTransposeUp(nn.Module):
     """ConvTranspose(kernel=2, stride=2) upsampling (unetWithArgs.py:77-79).
 

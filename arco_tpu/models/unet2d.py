@@ -26,8 +26,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from arco_tpu.models.layers import (ConvBlock2D, ConvTransposeUp,
-                                    FeaturePerturbation, max_pool)
+from arco_tpu.models.layers import (BilinearUp, ConvBlock2D,
+                                    ConvTransposeUp, FeaturePerturbation,
+                                    max_pool)
 from arco_tpu.ops.interpolate import resize_bilinear
 
 
@@ -50,7 +51,11 @@ class Encoder(nn.Module):
 
 class Decoder(nn.Module):
     """Up path; returns (logits, [x4, up1, up2, up3, up4])
-    (unetWithArgs.py:142-158)."""
+    (unetWithArgs.py:142-158).
+
+    Upsampling is conv1x1 + bilinear (UpBlock's default path): the
+    reference's Decoder never forwards its bilinear=False param
+    (unetWithArgs.py:130-138 vs :317) — see layers.BilinearUp."""
     ft_chns: Sequence[int] = (16, 32, 64, 128, 256)
     n_class: int = 4
     dtype: jnp.dtype = jnp.float32
@@ -61,7 +66,7 @@ class Decoder(nn.Module):
         feature_map = [x4]
         x = x4
         for skip, ch in zip((x3, x2, x1, x0), self.ft_chns[-2::-1]):
-            x = ConvTransposeUp(ch, self.dtype)(x)
+            x = BilinearUp(ch, self.dtype)(x)
             x = jnp.concatenate([skip, x], axis=-1)
             x = ConvBlock2D(ch, 0.0, self.dtype)(x, train)
             feature_map.append(x)

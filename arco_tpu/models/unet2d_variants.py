@@ -18,7 +18,7 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from arco_tpu.models.layers import ConvTransposeUp, leaky_relu, max_pool
+from arco_tpu.models.layers import BilinearUp, leaky_relu, max_pool
 from arco_tpu.models.unet2d import Encoder
 
 
@@ -83,7 +83,7 @@ class UNetHAR(nn.Module):
         feature_map = [feats[-1]]
         h = feats[-1]
         for skip, ch in zip(feats[-2::-1], self.ft_chns[-2::-1]):
-            h = ConvTransposeUp(ch, self.dtype)(h)
+            h = BilinearUp(ch, self.dtype)(h)
             h = jnp.concatenate([skip, h], axis=-1)
             h, bns = ConvBlockHAR(ch, 0.0, self.dtype)(h, train)
             bn_outputs += bns
@@ -108,7 +108,7 @@ class UNetSTEGO(nn.Module):
         feature_map = [feats[-1]]
         h = feats[-1]
         for skip, ch in zip(feats[-2::-1], ft[-2::-1]):
-            h = ConvTransposeUp(ch, self.dtype)(h)
+            h = BilinearUp(ch, self.dtype)(h)
             h = jnp.concatenate([skip, h], axis=-1)
             h = ConvBlock2D(ch, 0.0, self.dtype)(h, train)
             feature_map.append(h)
