@@ -94,8 +94,78 @@ def convert_unet_state_dict(sd: Dict) -> Tuple[Dict, Dict]:
     return to_jnp(params), to_jnp(batch_stats)
 
 
-def load_reference_checkpoint(path: str):
+def _conv3d(sd, prefix):
+    w = np.asarray(sd[f"{prefix}.weight"])        # [O, I, kd, kh, kw]
+    out = {"kernel": w.transpose(2, 3, 4, 1, 0)}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{prefix}.bias"])
+    return out
+
+
+def _convT3d(sd, prefix):
+    w = np.asarray(sd[f"{prefix}.weight"])        # [I, O, kd, kh, kw]
+    kernel = w.transpose(2, 3, 4, 0, 1)[::-1, ::-1, ::-1].copy()
+    out = {"kernel": kernel}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{prefix}.bias"])
+    return out
+
+
+def _vnet_conv_block(sd, prefix, n_stages):
+    """ConvBlock: per stage [Conv3d, BN, ReLU] -> conv.{3i}, conv.{3i+1}
+    (vnetWithArgs.py:5-31)."""
+    params, stats = {}, {}
+    for i in range(n_stages):
+        bn_p, bn_s = _bn(sd, f"{prefix}.conv.{3 * i + 1}")
+        params[f"ConvBNAct_{i}"] = {
+            "Conv_0": _conv3d(sd, f"{prefix}.conv.{3 * i}"),
+            "BatchNorm_0": bn_p}
+        stats[f"ConvBNAct_{i}"] = {"BatchNorm_0": bn_s}
+    return params, stats
+
+
+def convert_vnet_state_dict(sd: Dict) -> Tuple[Dict, Dict]:
+    """Reference VNet state_dict (vnetWithArgs.py:145-241, batchnorm config)
+    -> (params, batch_stats) for arco_tpu.models.vnet3d.VNet."""
+    sd = {k: v.cpu().numpy() if hasattr(v, "cpu") else np.asarray(v)
+          for k, v in sd.items()}
+    params, stats = {}, {}
+
+    conv_blocks = [("block_one", 1), ("block_two", 2), ("block_three", 3),
+                   ("block_four", 3), ("block_five", 3), ("block_six", 3),
+                   ("block_seven", 3), ("block_eight", 2), ("block_nine", 1)]
+    for i, (name, n) in enumerate(conv_blocks):
+        p, s = _vnet_conv_block(sd, name, n)
+        params[f"VNetConvBlock_{i}"], stats[f"VNetConvBlock_{i}"] = p, s
+
+    for i, name in enumerate(("block_one_dw", "block_two_dw",
+                              "block_three_dw", "block_four_dw")):
+        bn_p, bn_s = _bn(sd, f"{name}.conv.1")
+        params[f"DownBlock_{i}"] = {"Conv_0": _conv3d(sd, f"{name}.conv.0"),
+                                    "BatchNorm_0": bn_p}
+        stats[f"DownBlock_{i}"] = {"BatchNorm_0": bn_s}
+
+    for i, name in enumerate(("block_five_up", "block_six_up",
+                              "block_seven_up", "block_eight_up")):
+        bn_p, bn_s = _bn(sd, f"{name}.conv.1")
+        params[f"UpBlock_{i}"] = {
+            "ConvTransposeUp_0": {
+                "ConvTranspose_0": _convT3d(sd, f"{name}.conv.0")},
+            "BatchNorm_0": bn_p}
+        stats[f"UpBlock_{i}"] = {"BatchNorm_0": bn_s}
+
+    params["Conv_0"] = _conv3d(sd, "out_conv")
+
+    import jax.numpy as jnp
+    to_jnp = lambda t: {k: to_jnp(v) if isinstance(v, dict)
+                        else jnp.asarray(v) for k, v in t.items()}
+    return to_jnp(params), to_jnp(stats)
+
+
+def load_reference_checkpoint(path: str, model: str = "unet"):
     """Load an iter_<N>.pth file and convert (requires torch)."""
     import torch
     sd = torch.load(path, map_location="cpu")
+    if model == "vnet":
+        return convert_vnet_state_dict(sd)
     return convert_unet_state_dict(sd)
