@@ -138,6 +138,12 @@ def train(cfg: TrainConfig, snapshot_path: str):
 
 def main(argv=None):
     cfg = parse_args(argv)
+    # reference ablation flag (train_arco_2d.py:76):
+    # 0 all terms, 1 no reco (contrastive), 2 no unsup
+    if cfg.isd.combinations == 1:
+        cfg.arco.compute_contrastive = False
+    elif cfg.isd.combinations == 2:
+        cfg.arco.compute_unsup = False
     suffix = "final"
     snapshot_path = os.path.join(
         cfg.snapshot_dir, f"{cfg.exp}_{cfg.data.labeled_num}_labeled{suffix}",
