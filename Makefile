@@ -1,0 +1,27 @@
+# Developer entry points (1-core host: expect long pytest runs)
+
+.PHONY: test test-fast bench bench-quick dryrun profile bisect
+
+test:
+	python -m pytest tests/ -q
+
+test-fast:
+	python -m pytest tests/test_ops.py tests/test_config_cli.py \
+	    tests/test_pallas_infonce.py tests/test_genesis.py -q
+
+bench:
+	python bench.py
+
+bench-quick:
+	python bench.py --quick
+
+dryrun:
+	JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+	python -c "import jax; jax.config.update('jax_platforms','cpu'); \
+	import __graft_entry__ as g; g.dryrun_multichip(8); print('OK')"
+
+profile:
+	PYTHONPATH=.:/root/.axon_site python -u scripts/profile_step.py
+
+bisect:
+	PYTHONPATH=.:/root/.axon_site python -u scripts/bisect_step.py
