@@ -127,6 +127,9 @@ class ArcoConfig:
     compute_unsup: bool = True
     compute_revisit: bool = True
     use_entropy_split: bool = True
+    # O(n) histogram percentile instead of a device sort for the entropy
+    # split (see arco2d.masked_percentiles_histogram)
+    fast_percentile: bool = False
 
 
 @dataclass

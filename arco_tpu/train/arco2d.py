@@ -93,6 +93,32 @@ def masked_percentile(values, mask, pct):
     return masked_percentiles(values, mask, [pct])[0]
 
 
+def masked_percentiles_histogram(values, mask, pcts, bins: int = 2048,
+                                 lo: float = 0.0, hi: float = None):
+    """O(n) approximate masked percentiles via a fixed-range histogram —
+    replaces the device sort when `ArcoConfig.fast_percentile` is set.
+
+    For entropies the range is [0, log K]; with 2048 bins the threshold
+    quantization is < 0.07% of the range, far below the pixel-membership
+    noise of the entropy split."""
+    flat = values.reshape(-1).astype(jnp.float32)
+    m = mask.reshape(-1).astype(jnp.float32)
+    hi = hi if hi is not None else jnp.max(flat * m) + 1e-6
+    idx = jnp.clip(((flat - lo) / (hi - lo) * bins).astype(jnp.int32),
+                   0, bins - 1)
+    hist = jnp.zeros((bins,), jnp.float32).at[idx].add(m)
+    cdf = jnp.cumsum(hist)
+    n = cdf[-1]
+    edges = lo + (jnp.arange(bins, dtype=jnp.float32) + 1.0) \
+        / bins * (hi - lo)
+    outs = []
+    for pct in pcts:
+        target = pct / 100.0 * n
+        b = jnp.searchsorted(cdf, target)
+        outs.append(edges[jnp.clip(b, 0, bins - 1)])
+    return outs
+
+
 def make_arco_modules(model, width: int, height: int, batch_size: int,
                       feature_channels=(256, 128, 64, 32, 16),
                       fused_dim=None, tps_sigma: float = 0.01,
@@ -234,7 +260,9 @@ def arco_loss_fn(params, state: ArcoState, modules: ArcoModules, cfg, batch,
                                axis=-1)
             alpha_t = 20.0 * (1.0 - state.step.astype(jnp.float32)
                               / max_iterations)
-            low_thresh, high_thresh = masked_percentiles(
+            pct_fn = (masked_percentiles_histogram if cfg.fast_percentile
+                      else masked_percentiles)
+            low_thresh, high_thresh = pct_fn(
                 entropy, valid_u, [alpha_t, 100.0 - alpha_t])
             low_entropy_mask = (entropy <= low_thresh) & valid_u
             high_entropy_mask = (entropy >= high_thresh) & valid_u
