@@ -190,13 +190,21 @@ def _num_classes_of(model):
     raise AttributeError("model has no class-count attribute")
 
 
-def _apply_model(model, params, batch_stats, x, rng, stop_grad=False):
+def _apply_model(model, params, batch_stats, x, rng, stop_grad=False,
+                 remat=False):
     variables = {"params": params}
     if batch_stats:
         variables["batch_stats"] = batch_stats
-    (logits, latent, fmap), mutated = model.apply(
-        variables, x, train=True, rngs={"dropout": rng},
-        mutable=["batch_stats"])
+
+    def fwd(variables, x):
+        return model.apply(variables, x, train=True, rngs={"dropout": rng},
+                           mutable=["batch_stats"])
+
+    if remat and not stop_grad:
+        # recompute activations in the backward pass (SURVEY §7.3 #4);
+        # teacher forwards carry no grad so remat would only add FLOPs
+        fwd = jax.checkpoint(fwd)
+    (logits, latent, fmap), mutated = fwd(variables, x)
     if stop_grad:
         logits, latent, fmap = jax.tree_util.tree_map(
             jax.lax.stop_gradient, (logits, latent, fmap))
@@ -219,9 +227,9 @@ def arco_loss_fn(params, state: ArcoState, modules: ArcoModules, cfg, batch,
     # --- student forwards (BN stats threaded in forward order) ----------
     bs = state.batch_stats["model"]
     pred_l, l_fmap, bs = _apply_model(modules.model, params["model"], bs,
-                                      image_l, k_l)
+                                      image_l, k_l, remat=cfg.remat)
     pred_u, u_fmap, bs = _apply_model(modules.model, params["model"], bs,
-                                      u_aug_data, k_u)
+                                      u_aug_data, k_u, remat=cfg.remat)
 
     fe = lambda p, f: modules.feature_extractor.apply({"params": p}, f)
     qr = lambda p, f: modules.q_representation.apply({"params": p}, f)
@@ -326,7 +334,7 @@ def arco_loss_fn(params, state: ArcoState, modules: ArcoModules, cfg, batch,
         images_tps = modules.tps.apply(images_cj2, grid)
         mask_tps = modules.tps.apply(mask, grid, padding_mode="zeros")
         pred_tps, _, bs = _apply_model(modules.model, params["model"], bs,
-                                       images_tps, k_tps)
+                                       images_tps, k_tps, remat=cfg.remat)
         pred_tps_org = modules.tps.apply(jax.lax.stop_gradient(pred_all),
                                          grid, padding_mode="zeros")
         loss_eqv = equivariance_loss(pred_tps, pred_tps_org, mask_tps)
