@@ -45,6 +45,9 @@ def default_3d_config() -> TrainConfig:
     cfg.arco.compute_eqv = True
     cfg.arco.use_photometric = False
     cfg.arco.use_adv_morph = False
+    # five V-Net forwards at [112,112,80] are activation-memory bound;
+    # recompute in backward (loss-equivalent, tests/test_remat.py)
+    cfg.arco.remat = True
     return cfg
 
 
