@@ -70,11 +70,29 @@ class TestTransforms2D:
     def test_multi_crop(self, rng):
         img = rng.rand(32, 32).astype(np.float32)
         lab = rng.randint(0, 2, (32, 32))
-        crops = transforms2d.custom_multi_cropping(rng, img, lab, (24, 24),
-                                                   (12, 12))
-        assert len(crops) == 6
+        crops, params = transforms2d.custom_multi_cropping(
+            rng, img, lab, size_large=(24, 24), size_small=(12, 12))
+        assert len(crops) == 6 and len(params) == 6
         assert crops[0][0].shape == (24, 24)
         assert crops[-1][0].shape == (12, 12)
+        # small crops are conditioned on the LAST large crop (the MoCo key):
+        # each must intersect it by >=10% of its own area unless the
+        # fallback fired; the fallback is rare at these scales, so require
+        # at least one conditioned small crop to genuinely overlap.
+        key_box = params[1]
+        overlaps = [transforms2d._box_intersection(p, key_box)
+                    for p in params[2:]]
+        assert any(o > 0 for o in overlaps)
+
+    def test_multi_crop_unconditioned_and_imageonly(self, rng):
+        img = rng.rand(32, 32).astype(np.float32)
+        crops, params = transforms2d.custom_multi_cropping(
+            rng, img, None, size_large=24, size_small=12, n_large=1,
+            n_small=2, condition_small_crops_on_key=False)
+        assert len(crops) == 3
+        assert crops[0].shape == (24, 24) and crops[-1].shape == (12, 12)
+        for i, j, h, w in params:
+            assert 0 <= i and 0 <= j and i + h <= 32 and j + w <= 32
 
 
 class TestProfiling:
