@@ -15,6 +15,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from arco_tpu.utils.compile_cache import enable_persistent_cache
+enable_persistent_cache()
+
 from arco_tpu.data.natural import NaturalImageDataset
 from arco_tpu.models import net_factory
 from arco_tpu.train import checkpoint as ckpt

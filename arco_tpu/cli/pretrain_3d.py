@@ -17,6 +17,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from arco_tpu.utils.compile_cache import enable_persistent_cache
+enable_persistent_cache()
+
 from arco_tpu.config import TrainConfig, parse_args
 from arco_tpu.data.datasets import LAHeartDataset
 from arco_tpu.data.samplers import TwoStreamBatchSampler

@@ -14,6 +14,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from arco_tpu.utils.compile_cache import enable_persistent_cache
+enable_persistent_cache()
+
 from arco_tpu.data.datasets import SliceDataset
 from arco_tpu.eval.slice2d import evaluate_2d
 from arco_tpu.models import net_factory

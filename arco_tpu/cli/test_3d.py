@@ -12,6 +12,9 @@ import os
 import jax
 import jax.numpy as jnp
 
+from arco_tpu.utils.compile_cache import enable_persistent_cache
+enable_persistent_cache()
+
 from arco_tpu.data.datasets import LAHeartDataset
 from arco_tpu.eval.sliding_window import evaluate_3d
 from arco_tpu.models import net_factory_3d

@@ -20,6 +20,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from arco_tpu.utils.compile_cache import enable_persistent_cache
+enable_persistent_cache()
+
 from arco_tpu.config import TrainConfig, parse_args, patients_to_slices
 from arco_tpu.data.datasets import SliceDataset, SynapseDataset
 from arco_tpu.data.pipeline import TwoStreamPipeline

@@ -23,6 +23,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from arco_tpu.utils.compile_cache import enable_persistent_cache
+enable_persistent_cache()
+
 from arco_tpu.config import ArcoConfig
 from arco_tpu.data.natural import NaturalImageDataset, class_balanced_idx
 from arco_tpu.data.pipeline import TwoStreamPipeline

@@ -179,6 +179,8 @@ def ensure_live_backend(timeout_s: float = 90.0):
 
 def main():
     quick = "--quick" in sys.argv
+    from arco_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     ensure_live_backend()
     ips, hw, batch = bench_arco_step(steps=5 if quick else 20)
     baseline = None

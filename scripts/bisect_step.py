@@ -11,6 +11,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from arco_tpu.utils.compile_cache import enable_persistent_cache
+enable_persistent_cache()
+
 from arco_tpu.config import ArcoConfig
 from arco_tpu.models import net_factory
 from arco_tpu.train.arco2d import (init_arco_state, make_arco_modules,
