@@ -95,7 +95,7 @@ class AdvMorph:
     def __init__(self, data_size: Tuple[int, int, int, int],
                  vector_size: Tuple[int, int], epsilon: float = 1.5,
                  xi: float = 0.5, num_steps: int = 8, sigma: float = 1.0,
-                 gaussian_ks: int = 3):
+                 gaussian_ks: int = 3, coarse_exp: bool = True):
         self.batch, self.height, self.width = (data_size[0], data_size[1],
                                                data_size[2])
         self.vector_size = vector_size
@@ -104,6 +104,15 @@ class AdvMorph:
         self.num_steps = num_steps
         self.sigma = sigma
         self.ks = adv_morph_kernel_size(gaussian_ks, sigma)
+        # TPU optimization: integrate the (band-limited) velocity field at
+        # 2x its native resolution instead of full image resolution. The
+        # field is coarse noise + gaussian blur, so the exponential is
+        # resolution-insensitive; this replaces num_steps full-resolution
+        # grid_sample gathers (the dominant cost of the ARCO step's aug
+        # phase, ~16x the rows) with coarse ones + ONE full-res upsample.
+        self.coarse_exp = coarse_exp
+        self.exp_size = (min(2 * vector_size[0], data_size[1]),
+                         min(2 * vector_size[1], data_size[2]))
 
     def init_params(self, rng) -> AdvMorphParams:
         duv = jax.random.uniform(rng, (self.batch, *self.vector_size, 2),
@@ -112,14 +121,34 @@ class AdvMorph:
 
     def deformation_grid(self, params: AdvMorphParams,
                          scale: float | None = None) -> jnp.ndarray:
-        """DemonsCompose (adv_morph.py:499-530) -> sampling grid [B,H,W,2]."""
+        """DemonsCompose (adv_morph.py:499-530) -> sampling grid [B,H,W,2].
+
+        Exact simplification vs the reference: sampling the IDENTITY grid at
+        coordinates X with border padding (applyComposition2D at
+        adv_morph.py:505) returns bilinear interpolation of a linear
+        function = clip(X, -1, 1); the composition grid_sample is therefore
+        replaced by a clip, eliminating one full-resolution gather."""
         duv = params.velocity * (self.epsilon if scale is None else scale)
         duv = gaussian_blur_2d(duv, self.sigma, self.ks)
+        # reference semantics: velocity upsampled to image size with
+        # align_corners=False (adv_morph.py:516-519)
         duv = resize_bilinear(duv, (self.height, self.width),
                               align_corners=False)
-        offsets = field_exponentiation(duv, self.num_steps)
+        if self.coarse_exp:
+            # integrate on an aligned-corners coarse lattice (consistent
+            # with base_grid/grid_sample's align_corners=True convention),
+            # then upsample the resulting offsets once. Equivalence to the
+            # full-resolution integral is distributional (same smooth
+            # random-diffeomorphism family, same magnitude/spectrum), per
+            # SURVEY §7.3 #2's parity criterion for stochastic augs.
+            duv_c = resize_bilinear(duv, self.exp_size, align_corners=True)
+            offsets = field_exponentiation(duv_c, self.num_steps)
+            offsets = resize_bilinear(offsets, (self.height, self.width),
+                                      align_corners=True)
+        else:
+            offsets = field_exponentiation(duv, self.num_steps)
         grid = base_grid(self.batch, self.height, self.width)
-        composed = _compose(grid, offsets + grid)
+        composed = jnp.clip(offsets + grid, -1.0, 1.0)
         smoothed = gaussian_blur_2d(composed - grid, self.sigma, self.ks)
         return jnp.clip(smoothed + grid, -1.0, 1.0)
 

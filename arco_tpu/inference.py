@@ -122,3 +122,41 @@ class Segmenter3D:
                 self._probs, volume, self.stride_xy, self.stride_z,
                 self.patch_size, self.num_classes)
         return pred
+
+    def predict_volume_sharded(self, volume: np.ndarray, mesh=None,
+                               halo: int = 16, lattice: int = 16,
+                               spatial_axis: int = 1) -> np.ndarray:
+        """Whole-volume forward with one spatial axis sharded over the
+        device mesh (parallel/spatial.py) — no sliding window at all.
+
+        The volume is zero-padded so the sharded axis divides the mesh and
+        (local + 2*halo) hits the model's stride lattice. Use when the
+        volume fits HBM collectively but not per-chip; per-device compute is
+        one forward instead of the window grid."""
+        from arco_tpu.parallel import create_mesh
+        from arco_tpu.parallel.spatial import (shard_volume,
+                                               sharded_volume_forward)
+        mesh = mesh or create_mesh()
+        n = mesh.shape["data"]
+        vol = np.asarray(volume, np.float32)
+        x = vol[None, ..., None]                      # [1, D, H, W, 1]
+        d = x.shape[spatial_axis]
+        # pad so local = D_pad/n is a lattice multiple; then the extended
+        # slab is lattice-aligned iff 2*halo is, i.e. halo % (lattice/2) == 0
+        unit = n * lattice
+        d_pad = -(-max(d, unit) // unit) * unit
+        local = d_pad // n
+        half = max(lattice // 2, 1)
+        h = min(-(-halo // half) * half, local)
+        pad = [(0, 0)] * x.ndim
+        pad[spatial_axis] = (0, d_pad - d)
+        x = np.pad(x, pad)
+        call = sharded_volume_forward(self._probs, mesh, halo=h,
+                                      spatial_axis=spatial_axis,
+                                      lattice=lattice)
+        probs = np.asarray(call(shard_volume(x, mesh,
+                                             spatial_axis=spatial_axis)))
+        pred = probs.argmax(-1)[0]
+        slicer = [slice(None)] * pred.ndim
+        slicer[spatial_axis - 1] = slice(0, d)
+        return pred[tuple(slicer)].astype(np.int32)

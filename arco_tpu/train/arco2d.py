@@ -25,6 +25,7 @@ TPU-native redesign notes (SURVEY §7):
 
 from __future__ import annotations
 
+import functools
 from typing import Any, NamedTuple
 
 import jax
@@ -141,7 +142,21 @@ def init_arco_state(rng, modules: ArcoModules, cfg, input_shape, tx,
                     pool_dtype=jnp.bfloat16) -> ArcoState:
     """input_shape: [B, *spatial, C_in]. model_params may come from a stage-1
     checkpoint (the reference loads iter_30000.pth into student AND teacher,
-    train_arco_2d.py:223-226)."""
+    train_arco_2d.py:223-226).
+
+    The whole build is one jitted program: eager init dispatches thousands
+    of individual ops, which costs ~10 minutes on the tunneled TPU backend
+    (~0.7 ms per dispatch); jitted it is one compile + one execution."""
+    build = jax.jit(functools.partial(
+        _build_arco_state, modules=modules, cfg=cfg,
+        input_shape=tuple(input_shape), tx=tx, pool_dtype=pool_dtype))
+    if model_params is None:
+        return build(rng, None, None)
+    return build(rng, model_params, model_batch_stats or {})
+
+
+def _build_arco_state(rng, model_params, model_batch_stats, *, modules,
+                      cfg, input_shape, tx, pool_dtype) -> ArcoState:
     k_model, k_fe, k_qr, k_pool, k_state = jax.random.split(rng, 5)
     dummy = jnp.zeros(input_shape, jnp.float32)
     mvars = modules.model.init({"params": k_model,
@@ -163,7 +178,9 @@ def init_arco_state(rng, modules: ArcoModules, cfg, input_shape, tx,
               "q_representation": qr_vars["params"]}
     copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
 
-    feat_dim = int(jnp.prod(jnp.array(fused.shape[1:])))
+    feat_dim = 1
+    for d in fused.shape[1:]:  # static python math: jit-safe
+        feat_dim *= int(d)
     pool = jax.random.normal(k_pool, (cfg.K, feat_dim), jnp.float32)
     pool = pool / (jnp.linalg.norm(pool, axis=1, keepdims=True) + 1e-12)
 
@@ -331,12 +348,20 @@ def arco_loss_fn(params, state: ArcoState, modules: ArcoModules, cfg, batch,
         images_cj2 = jnp.concatenate(
             [aug["images_cj2_l"], aug["images_cj2_u"]], axis=0)
         grid = modules.tps.reset(aug["rng_tps"])
-        images_tps = modules.tps.apply(images_cj2, grid)
-        mask_tps = modules.tps.apply(mask, grid, padding_mode="zeros")
+        # one fused warp: images, mask, and detached predictions share the
+        # grid and zeros padding, so a single channel-stacked grid_sample
+        # does the work of three (gather cost scales with rows, not
+        # channels); nothing here carries grad, so the gather has no
+        # backward pass either.
+        c_img = images_cj2.shape[-1]
+        stacked = jax.lax.stop_gradient(jnp.concatenate(
+            [images_cj2, mask, pred_all], axis=-1))
+        warped = modules.tps.apply(stacked, grid, padding_mode="zeros")
+        images_tps = warped[..., :c_img]
+        mask_tps = warped[..., c_img:c_img + 1]
+        pred_tps_org = warped[..., c_img + 1:]
         pred_tps, _, bs = _apply_model(modules.model, params["model"], bs,
                                        images_tps, k_tps, remat=cfg.remat)
-        pred_tps_org = modules.tps.apply(jax.lax.stop_gradient(pred_all),
-                                         grid, padding_mode="zeros")
         loss_eqv = equivariance_loss(pred_tps, pred_tps_org, mask_tps)
     else:
         loss_eqv = jnp.array(0.0, jnp.float32)

@@ -94,7 +94,18 @@ def _num_patches(spatial, patch: int, step: int) -> int:
 
 def init_pretrain_state(rng, modules: ISDModules, cfg, input_shape,
                         max_iterations: int) -> PretrainState:
-    """input_shape: [B, *spatial, C_in]."""
+    """input_shape: [B, *spatial, C_in].
+
+    Jitted as one program: eager init pays per-op dispatch latency, which
+    is ~10 minutes on the tunneled TPU backend (see train/arco2d.py)."""
+    build = jax.jit(functools.partial(
+        _build_pretrain_state, modules=modules, cfg=cfg,
+        input_shape=tuple(input_shape), max_iterations=max_iterations))
+    return build(rng)
+
+
+def _build_pretrain_state(rng, *, modules, cfg, input_shape,
+                          max_iterations) -> PretrainState:
     k_model, k_heads, k_q1, k_q2, k_state = jax.random.split(rng, 5)
     dummy = jnp.zeros(input_shape, jnp.float32)
     rngs = {"params": k_model, "dropout": jax.random.PRNGKey(0)}

@@ -5,12 +5,15 @@ ISD pretraining, stage-2 ARCO training consuming the stage-1 checkpoint,
 then volume evaluation. Mirrors exactly what tests/test_cli_pipeline.py
 asserts, as a runnable walkthrough:
 
-    PYTHONPATH=. python examples/quickstart_synthetic.py
+    python examples/quickstart_synthetic.py
 """
 
 import json
 import os
+import sys
 import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from arco_tpu.config import TrainConfig
 from arco_tpu.data.synthetic import make_acdc_like

@@ -111,6 +111,28 @@ class TestAdvMorph:
         ours = np.asarray(morph.unit_normalize(jnp.array(d)))
         np.testing.assert_allclose(ours, theirs, atol=1e-5)
 
+    def test_coarse_exp_matches_fullres_exponentiation(self, rng):
+        """TPU optimization check: integrating the band-limited velocity
+        field at 2x vector resolution then upsampling must produce nearly
+        the same deformation grid as full-resolution integration."""
+        kw = dict(data_size=(2, 64, 64, 1), vector_size=(8, 8))
+        m_c = morph.AdvMorph(coarse_exp=True, **kw)
+        m_f = morph.AdvMorph(coarse_exp=False, **kw)
+        params = m_c.init_params(jax.random.PRNGKey(3))
+        g_c = np.asarray(m_c.deformation_grid(params))
+        g_f = np.asarray(m_f.deformation_grid(params))
+        ident = np.asarray(morph.base_grid(2, 64, 64))
+        d_c, d_f = g_c - ident, g_f - ident
+        mag_f = np.abs(d_f).max()
+        assert mag_f > 1e-3  # the field actually deforms
+        # distributional equivalence (SURVEY §7.3 #2): same deformation
+        # family — comparable magnitude, comparable smoothness, pointwise
+        # deviation bounded by the deformation scale itself
+        assert 0.7 < np.abs(d_c).max() / mag_f < 1.3
+        assert np.abs(g_c - g_f).max() < 0.5 * mag_f
+        grad = lambda d: np.abs(np.diff(d, axis=1)).max()
+        assert 0.5 < grad(d_c) / grad(d_f) < 2.0
+
     def test_forward_deforms_but_stays_bounded(self, rng):
         x = jnp.array(rng.rand(2, 32, 32, 1).astype(np.float32))
         m = morph.AdvMorph(data_size=(2, 32, 32, 1), vector_size=(4, 4))
