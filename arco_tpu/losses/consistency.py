@@ -37,27 +37,36 @@ def compute_unsupervised_loss(predict, target, logits, strong_threshold):
 def revisiting_loss(random_pool, rep_u, rep_u_teacher, topk: int = 5):
     """NN 'revisiting' loss (train_arco_2d.py:126-136).
 
-    random_pool: [K, F] (rows already L2-normalized);
-    rep_u / rep_u_teacher: [B, ...] flattened per-sample then normalized.
+    random_pool: [K, *feat] — pool rows in the representation's NATIVE
+    shape (rows L2-normalized over the feature axes);
+    rep_u / rep_u_teacher: [B, *feat].
     Squared L2 distance on the unit sphere: d = 2 - 2 <a, b>.
     The student picks its topk nearest pool rows; the loss is the teacher's
     mean distance to those same rows.
+
+    TPU note: the pool is kept in the rep's native (tiled-layout-friendly)
+    shape and the feature axes are contracted directly. Flattening the pool
+    to [K, 32M] first forces a 2D relayout of multi-GB operands and a
+    latency-bound matmul strategy — 46 ms vs ~9 ms for this formulation at
+    the reference sizes on TPU v5e. One fused pass serves student and
+    teacher queries (the pool HBM read is the roofline).
     """
     b = rep_u.shape[0]
+    feat_axes = tuple(range(1, rep_u.ndim))
 
     def norm(x):
-        x = x.reshape(b, -1)
-        n2 = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1,
+        n2 = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=feat_axes,
                      keepdims=True)
         return (x.astype(jnp.float32) * jax.lax.rsqrt(n2 + 1e-24)).astype(
             x.dtype)
 
-    s, t = norm(rep_u), norm(rep_u_teacher)
-    # pool rows stay bf16 into the MXU; accumulation is f32
-    dist_t = 2.0 - 2.0 * jnp.matmul(s, random_pool.T.astype(s.dtype),
-                                    preferred_element_type=jnp.float32)
-    dist_q = 2.0 - 2.0 * jnp.matmul(t, random_pool.T.astype(t.dtype),
-                                    preferred_element_type=jnp.float32)
+    st = jnp.concatenate([norm(rep_u), norm(rep_u_teacher)], axis=0)
+    sims = jax.lax.dot_general(
+        st, random_pool.astype(st.dtype),
+        dimension_numbers=((feat_axes, feat_axes), ((), ())),
+        preferred_element_type=jnp.float32)          # [2b, K]
+    dist_t = 2.0 - 2.0 * sims[:b]
+    dist_q = 2.0 - 2.0 * sims[b:]
     _, nn_index = jax.lax.top_k(-dist_t, topk)
     nn_dist_q = jnp.take_along_axis(dist_q, nn_index, axis=1)
     return jnp.mean(jnp.sum(nn_dist_q, axis=1) / topk)

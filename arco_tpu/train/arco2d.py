@@ -178,11 +178,13 @@ def _build_arco_state(rng, model_params, model_batch_stats, *, modules,
               "q_representation": qr_vars["params"]}
     copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
 
-    feat_dim = 1
-    for d in fused.shape[1:]:  # static python math: jit-safe
-        feat_dim *= int(d)
-    pool = jax.random.normal(k_pool, (cfg.K, feat_dim), jnp.float32)
-    pool = pool / (jnp.linalg.norm(pool, axis=1, keepdims=True) + 1e-12)
+    # pool rows live in the representation's NATIVE shape: flattening to
+    # [K, 32M] forces multi-GB relayouts on TPU (see losses/consistency.py)
+    pool_row_shape = tuple(int(d) for d in fused.shape[1:])
+    pool = jax.random.normal(k_pool, (cfg.K,) + pool_row_shape, jnp.float32)
+    norm = jnp.sqrt(jnp.sum(jnp.square(pool),
+                            axis=tuple(range(1, pool.ndim)), keepdims=True))
+    pool = pool / (norm + 1e-12)
 
     memobank = create_memobank(
         num_classes=_num_classes_of(modules.model), feat=fused.shape[-1],
@@ -250,11 +252,15 @@ def arco_loss_fn(params, state: ArcoState, modules: ArcoModules, cfg, batch,
 
     fe = lambda p, f: modules.feature_extractor.apply({"params": p}, f)
     qr = lambda p, f: modules.q_representation.apply({"params": p}, f)
-    l_feat = fe(params["feature_extractor"], l_fmap)
-    u_feat = fe(params["feature_extractor"], u_fmap)
-    rep_l = qr(params["q_representation"], l_feat)
-    rep_u = qr(params["q_representation"], u_feat)
-    rep_all = jnp.concatenate([rep_l, rep_u], axis=0)
+    # the fusion heads are pure convs (no batch norm), so fusing the
+    # labeled/unlabeled sub-batches into ONE application is exact and
+    # halves the head overhead (better MXU occupancy at 2B than B)
+    fmap_cat = [jnp.concatenate([a, b], axis=0)
+                for a, b in zip(l_fmap, u_fmap)]
+    feat_all = fe(params["feature_extractor"], fmap_cat)
+    rep_all = qr(params["q_representation"], feat_all)
+    b_l_ = pred_l.shape[0]
+    rep_u = rep_all[b_l_:]
     pred_all = jnp.concatenate([pred_l, pred_u], axis=0)
 
     # --- losses ----------------------------------------------------------
@@ -436,8 +442,13 @@ def make_arco_step(modules: ArcoModules, cfg, tx, num_classes: int,
             k_tu, stop_grad=True)
         kfe = lambda f: modules.feature_extractor.apply(
             {"params": k_feature_params}, f)
-        rep_l_teacher = jax.lax.stop_gradient(kfe(l_fmap_t))
-        rep_u_teacher = jax.lax.stop_gradient(kfe(u_fmap_t))
+        # one fused teacher head application (convs only — exact)
+        fmap_t_cat = [jnp.concatenate([a, b], axis=0)
+                      for a, b in zip(l_fmap_t, u_fmap_t)]
+        rep_t_all = jax.lax.stop_gradient(kfe(fmap_t_cat))
+        b_tl = batch["image_l"].shape[0]
+        rep_l_teacher = rep_t_all[:b_tl]
+        rep_u_teacher = rep_t_all[b_tl:]
 
         aug = {"u_aug_data": u_aug_strong, "u_aug_label": u_aug_label,
                "u_aug_logits": u_aug_logits,
@@ -461,10 +472,12 @@ def make_arco_step(modules: ArcoModules, cfg, tx, num_classes: int,
         ema_params = {"model": ema_update(state.ema_params["model"],
                                           params["model"], 0.99)}
 
-        # random-pool enqueue (train_arco_2d.py:400-402)
-        b_u = rep_u_teacher.shape[0]
-        keys = rep_u_teacher.reshape(b_u, -1).astype(jnp.float32)
-        keys = keys / (jnp.linalg.norm(keys, axis=1, keepdims=True) + 1e-12)
+        # random-pool enqueue (train_arco_2d.py:400-402); keys stay in the
+        # rep's native shape — normalized over the feature axes
+        fax = tuple(range(1, rep_u_teacher.ndim))
+        keys = rep_u_teacher.astype(jnp.float32)
+        knorm = jnp.sqrt(jnp.sum(jnp.square(keys), axis=fax, keepdims=True))
+        keys = keys / (knorm + 1e-12)
         pool, pool_ptr = enqueue_fixed(state.random_pool,
                                        state.random_pool_ptr, keys)
 

@@ -107,10 +107,11 @@ def main():
     rep_t = jnp.ones(rep_shape, dtype)
 
     @jax.jit
-    def revisit(a, b):
-        return revisiting_loss(state.random_pool, a, b, topk=cfg.topk)
+    def revisit(pool, a, b):  # pool as arg, not a 2.3GB captured constant
+        return revisiting_loss(pool, a, b, topk=cfg.topk)
 
-    print(f"revisiting loss    : {timeit(revisit, rep_u, rep_t):8.2f} ms")
+    print(f"revisiting loss    : "
+          f"{timeit(revisit, state.random_pool, rep_u, rep_t):8.2f} ms")
 
     from arco_tpu.losses.contrastive import (compute_contra_memobank_loss,
                                              descending_rank)
