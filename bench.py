@@ -145,43 +145,52 @@ def bench_torch_cpu_proxy(hw: int = 256, batch: int = 4, k: int = 4,
     return steps * 2 * batch / dt
 
 
-def ensure_live_backend(timeout_s: float = 90.0):
+def ensure_live_backend(timeout_s: float = 240.0, retries: int = 2):
     """The tunneled TPU backend can hang indefinitely when the relay is
-    down; probe it with a watchdog and fall back to CPU so the bench always
-    produces a result."""
+    down; probe it with a watchdog (generous: a cold remote-compile
+    handshake can take minutes) and retry before falling back to CPU so
+    the bench always produces a result."""
     import threading
 
     import jax
 
-    ok = []
+    for attempt in range(retries):
+        ok = []
 
-    def probe():
-        try:
-            import jax.numpy as jnp
-            float(jnp.ones(2).sum())
-            ok.append(True)
-        except Exception:
-            pass
+        def probe():
+            try:
+                import jax.numpy as jnp
+                float(jnp.ones(2).sum())
+                ok.append(True)
+            except Exception:
+                pass
 
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    if not ok:
-        print(f"# device probe exceeded {timeout_s}s; falling back to CPU",
+        t = threading.Thread(target=probe, daemon=True)
+        t.start()
+        t.join(timeout_s)
+        if ok:
+            return
+        print(f"# device probe attempt {attempt + 1} exceeded {timeout_s}s",
               file=sys.stderr)
-        try:
-            from jax.extend.backend import clear_backends
-            clear_backends()
-        except Exception:
-            pass
-        jax.config.update("jax_platforms", "cpu")
+    print("# falling back to CPU", file=sys.stderr)
+    try:
+        from jax.extend.backend import clear_backends
+        clear_backends()
+    except Exception:
+        pass
+    jax.config.update("jax_platforms", "cpu")
 
 
 def main():
     quick = "--quick" in sys.argv
-    from arco_tpu.utils.compile_cache import enable_persistent_cache
-    enable_persistent_cache()
     ensure_live_backend()
+    import jax
+    if jax.devices()[0].platform != "cpu":
+        # TPU only: reloading CPU AOT cache entries across heterogeneous
+        # hosts trips machine-feature mismatches (and the CPU programs
+        # compile in seconds anyway)
+        from arco_tpu.utils.compile_cache import enable_persistent_cache
+        enable_persistent_cache()
     ips, hw, batch = bench_arco_step(steps=5 if quick else 20)
     baseline = None
     if not quick and hw == 256:
