@@ -66,12 +66,15 @@ def train(cfg: TrainConfig, snapshot_path: str):
 
     num_classes = cfg.data.num_classes
     h, w = cfg.data.patch_size
+    # reference batch semantics: batch_size is the TOTAL per-step batch,
+    # labeled_bs of it labeled (train_arco_2d.py:35-36)
     bs = cfg.data.batch_size
+    b_l = cfg.data.labeled_bs
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
     model = net_factory(cfg.model, in_chns=cfg.data.in_channels,
                         class_num=num_classes, dtype=dtype)
-    modules = make_arco_modules(model, w, h, batch_size=bs,
+    modules = make_arco_modules(model, w, h, batch_size=b_l, total_batch=bs,
                                 tps_sigma=cfg.arco.tps_sigma, dtype=dtype)
     tx = make_optimizer(cfg.optim.base_lr, cfg.optim.max_iterations,
                         cfg.optim.weight_decay, cfg.optim.momentum,
@@ -91,7 +94,7 @@ def train(cfg: TrainConfig, snapshot_path: str):
                 resume_dir, step, None, None)
 
     state = init_arco_state(jax.random.PRNGKey(cfg.seed), modules, cfg.arco,
-                            (bs, h, w, cfg.data.in_channels), tx,
+                            (b_l, h, w, cfg.data.in_channels), tx,
                             model_params=model_params,
                             model_batch_stats=model_stats)
 
@@ -108,7 +111,7 @@ def train(cfg: TrainConfig, snapshot_path: str):
                              output_size=cfg.data.patch_size)
 
     ds_l, ds_u = build_datasets(cfg)
-    pipeline = TwoStreamPipeline(ds_l, ds_u, bs, seed=cfg.seed)
+    pipeline = TwoStreamPipeline(ds_l, ds_u, bs, seed=cfg.seed, labeled_bs=b_l)
     logger = MetricLogger(snapshot_path)
 
     t0 = time.time()
@@ -120,7 +123,7 @@ def train(cfg: TrainConfig, snapshot_path: str):
         state, metrics = step_fn(state, dev_batch)
         if it % cfg.log_every == 0:
             metrics = {k: float(v) for k, v in metrics.items()}
-            ips = cfg.log_every * bs * 2 / (time.time() - t0)
+            ips = cfg.log_every * bs / (time.time() - t0)
             t0 = time.time()
             logger.log(it, {**metrics, "images_per_sec": ips})
             logging.info(

@@ -64,13 +64,16 @@ def train(cfg: TrainConfig, snapshot_path: str):
 
     num_classes = cfg.data.num_classes
     patch = tuple(cfg.data.patch_size)
+    # reference batch semantics: batch_size is the TOTAL per-step batch,
+    # labeled_bs of it labeled (train_arco_2d.py:35-36)
     bs = cfg.data.batch_size
+    b_l = cfg.data.labeled_bs
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
     model = net_factory_3d(cfg.model, in_chns=cfg.data.in_channels,
                            class_num=num_classes, dtype=dtype)
     modules = make_arco_modules(
-        model, patch[1], patch[0], batch_size=bs,
+        model, patch[1], patch[0], batch_size=b_l, total_batch=bs,
         feature_channels=(128, 64, 32, 16, 16), fused_dim=16,
         tps_sigma=cfg.arco.tps_sigma, dtype=dtype)
     tx = make_optimizer(cfg.optim.base_lr, cfg.optim.max_iterations,
@@ -90,7 +93,7 @@ def train(cfg: TrainConfig, snapshot_path: str):
 
     state = init_arco_state(
         jax.random.PRNGKey(cfg.seed), modules, cfg.arco,
-        (bs,) + patch + (cfg.data.in_channels,), tx,
+        (b_l,) + patch + (cfg.data.in_channels,), tx,
         model_params=model_params, model_batch_stats=model_stats)
     step_fn = make_arco_step(modules, cfg.arco, tx, num_classes,
                              cfg.optim.max_iterations)
@@ -101,7 +104,7 @@ def train(cfg: TrainConfig, snapshot_path: str):
     ds_u = LAHeartDataset(cfg.data.root_path, "train",
                           index=cfg.data.labeled_num, label_type=0,
                           patch_size=patch)
-    pipeline = TwoStreamPipeline(ds_l, ds_u, bs, seed=cfg.seed)
+    pipeline = TwoStreamPipeline(ds_l, ds_u, bs, seed=cfg.seed, labeled_bs=b_l)
     logger = MetricLogger(snapshot_path)
 
     t0 = time.time()
@@ -112,7 +115,7 @@ def train(cfg: TrainConfig, snapshot_path: str):
         state, metrics = step_fn(state, dev_batch)
         if it % cfg.log_every == 0:
             m = {k: float(v) for k, v in metrics.items()}
-            vps = cfg.log_every * bs * 2 / (time.time() - t0)
+            vps = cfg.log_every * bs / (time.time() - t0)
             t0 = time.time()
             logger.log(it, {**m, "volumes_per_sec": vps})
             logging.info(

@@ -46,13 +46,30 @@ class TwoStreamPipeline:
 
     Each ``next()`` returns a dict with image_l/label_l/image_u/label_u numpy
     arrays. Batch assembly runs in a worker thread.
+
+    ``labeled_bs`` mirrors the reference's --labeled_bs split
+    (train_arco_2d.py:35-36, train_arco_3d.py:34-35): ``batch_size`` is the
+    TOTAL per-step batch, of which ``labeled_bs`` samples are labeled and
+    the rest unlabeled. When ``labeled_bs`` is None both streams get
+    ``batch_size`` samples (legacy equal-streams behavior used by the
+    benches).
     """
 
     def __init__(self, dataset_l, dataset_u, batch_size: int, seed: int = 0,
-                 queue_depth: int = 4, workers: int = 1):
+                 queue_depth: int = 4, workers: int = 1,
+                 labeled_bs: int = None):
         self.dataset_l = dataset_l
         self.dataset_u = dataset_u
         self.batch_size = batch_size
+        if labeled_bs is None:
+            self.bs_l = self.bs_u = batch_size
+        else:
+            if not 0 < labeled_bs < batch_size:
+                raise ValueError(
+                    f"labeled_bs ({labeled_bs}) must be in (0, batch_size="
+                    f"{batch_size})")
+            self.bs_l = labeled_bs
+            self.bs_u = batch_size - labeled_bs
         self.seed = seed
         self.q: "queue.Queue" = queue.Queue(maxsize=queue_depth)
         self._stop = threading.Event()
@@ -71,8 +88,8 @@ class TwoStreamPipeline:
         rng = np.random.RandomState(self.seed + 1000 * wid)
         n_l, n_u = len(self.dataset_l), len(self.dataset_u)
         while not self._stop.is_set():
-            li = rng.randint(0, n_l, size=self.batch_size)
-            ui = rng.randint(0, n_u, size=self.batch_size)
+            li = rng.randint(0, n_l, size=self.bs_l)
+            ui = rng.randint(0, n_u, size=self.bs_u)
             img_l, lab_l = self._assemble(self.dataset_l, li, rng)
             img_u, lab_u = self._assemble(self.dataset_u, ui, rng)
             batch = {"image_l": img_l, "label_l": lab_l,

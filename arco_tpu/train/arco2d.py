@@ -123,17 +123,21 @@ def masked_percentiles_histogram(values, mask, pcts, bins: int = 2048,
 def make_arco_modules(model, width: int, height: int, batch_size: int,
                       feature_channels=(256, 128, 64, 32, 16),
                       fused_dim=None, tps_sigma: float = 0.01,
-                      dtype=jnp.float32):
+                      dtype=jnp.float32, total_batch: int = None):
     """2D: fea_dim [256,128,64,32,16] -> 496 (train_arco_2d.py:231-242);
     3D: fea_dim [128,64,32,16,16] -> fused_dim 16 (train_arco_3d.py:208-216).
+
+    ``total_batch`` is b_labeled + b_unlabeled (the TPS warp acts on the
+    concatenated batch); defaults to 2*batch_size for equal streams.
     """
     fused = int(fused_dim) if fused_dim else int(sum(feature_channels))
+    total = total_batch if total_batch is not None else batch_size * 2
     return ArcoModules(
         model=model,
         feature_extractor=FeatureExtractor(fea_dim=tuple(feature_channels),
                                            output_dim=fused, dtype=dtype),
         q_representation=QRepresentation(channels=fused, dtype=dtype),
-        tps=RandTPS(width, height, batch_size=batch_size * 2,
+        tps=RandTPS(width, height, batch_size=total,
                     sigma=tps_sigma, random_scale=(0.8, 1.2), mode="affine"))
 
 
