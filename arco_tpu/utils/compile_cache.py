@@ -21,10 +21,22 @@ DEFAULT_DIR = os.environ.get(
 
 
 def enable_persistent_cache(path: str = None) -> str | None:
-    """Idempotently enable the JAX persistent compilation cache."""
+    """Idempotently enable the JAX persistent compilation cache.
+
+    Skipped when the process is pinned to CPU (JAX_PLATFORMS=cpu): CPU
+    programs compile in seconds, and reloading CPU AOT entries produced by
+    the remote compile helper on a different host trips machine-feature
+    mismatches (cpu_aot_loader warnings, potential SIGILL). The cache
+    exists for the tunneled TPU backend's ~10-minute compiles."""
     if os.environ.get("ARCO_NO_COMPILE_CACHE"):
         return None
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return None
     import jax
+
+    if jax.config.jax_platforms and \
+            str(jax.config.jax_platforms).strip().lower() == "cpu":
+        return None
 
     path = path or DEFAULT_DIR
     os.makedirs(path, exist_ok=True)
