@@ -131,7 +131,13 @@ class AdvMorph:
         duv = params.velocity * (self.epsilon if scale is None else scale)
         duv = gaussian_blur_2d(duv, self.sigma, self.ks)
         # reference semantics: velocity upsampled to image size with
-        # align_corners=False (adv_morph.py:516-519)
+        # align_corners=False (adv_morph.py:516-519). The full-res field is
+        # materialized even under coarse_exp so the coarse lattice samples
+        # the SAME align_corners=False-upsampled signal the reference
+        # integrates (a direct vector->exp_size resize changes the field's
+        # half-pixel phase and doubles the coarse-vs-full deviation —
+        # measured 59% vs 35%); this resize is [B,H,W,2] elementwise-cheap
+        # next to the gathers it saves.
         duv = resize_bilinear(duv, (self.height, self.width),
                               align_corners=False)
         if self.coarse_exp:

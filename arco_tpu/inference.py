@@ -150,6 +150,15 @@ class Segmenter3D:
         h = min(-(-halo // half) * half, local)
         pad = [(0, 0)] * x.ndim
         pad[spatial_axis] = (0, d_pad - d)
+        # the UNSHARDED spatial axes must hit the lattice too (real LA
+        # volumes are e.g. 141x113 in-plane; the decoder skip concats
+        # misalign otherwise)
+        orig = x.shape
+        for ax in range(1, x.ndim - 1):
+            if ax == spatial_axis:
+                continue
+            size = x.shape[ax]
+            pad[ax] = (0, -(-size // lattice) * lattice - size)
         x = np.pad(x, pad)
         call = sharded_volume_forward(self._probs, mesh, halo=h,
                                       spatial_axis=spatial_axis,
@@ -157,6 +166,7 @@ class Segmenter3D:
         probs = np.asarray(call(shard_volume(x, mesh,
                                              spatial_axis=spatial_axis)))
         pred = probs.argmax(-1)[0]
-        slicer = [slice(None)] * pred.ndim
-        slicer[spatial_axis - 1] = slice(0, d)
-        return pred[tuple(slicer)].astype(np.int32)
+        # crop every padded axis back to the input extent
+        slicer = tuple(slice(0, orig[ax] if ax != spatial_axis else d)
+                       for ax in range(1, x.ndim - 1))
+        return pred[slicer].astype(np.int32)

@@ -51,16 +51,12 @@ def revisiting_loss(random_pool, rep_u, rep_u_teacher, topk: int = 5):
     the reference sizes on TPU v5e. One fused pass serves student and
     teacher queries (the pool HBM read is the roofline).
     """
+    from arco_tpu.ops.normalize import feature_axes, l2_normalize
+
     b = rep_u.shape[0]
-    feat_axes = tuple(range(1, rep_u.ndim))
-
-    def norm(x):
-        n2 = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=feat_axes,
-                     keepdims=True)
-        return (x.astype(jnp.float32) * jax.lax.rsqrt(n2 + 1e-24)).astype(
-            x.dtype)
-
-    st = jnp.concatenate([norm(rep_u), norm(rep_u_teacher)], axis=0)
+    feat_axes = feature_axes(rep_u)
+    st = jnp.concatenate([l2_normalize(rep_u, feat_axes),
+                          l2_normalize(rep_u_teacher, feat_axes)], axis=0)
     sims = jax.lax.dot_general(
         st, random_pool.astype(st.dtype),
         dimension_numbers=((feat_axes, feat_axes), ((), ())),

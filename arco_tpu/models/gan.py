@@ -108,12 +108,21 @@ class ResnetGenerator(nn.Module):
 
 class UnetGenerator(nn.Module):
     """networks_other.py:400-478 (UnetGenerator + UnetSkipConnectionBlock):
-    num_downs-level U-Net generator with 4x4 stride-2 down/up convs and
+    num_downs-level U-Net generator with 4x4 stride-2 down/up convs,
     channel widths capped at ngf*8.
 
     The torch version builds the recursion inner-out as nested
-    UnetSkipConnectionBlocks; an explicit down/up stack expresses the same
-    dataflow without recursion (friendlier to flax module naming)."""
+    UnetSkipConnectionBlocks (each block returns cat([its INPUT x,
+    up(sub(down(x)))]) except the outermost); the explicit stack below
+    reproduces that dataflow exactly:
+    - down at level 0 (outermost): conv only (:446-450);
+    - down at interior levels: norm(conv(lrelu(x))) (:459-461);
+    - down innermost: conv(lrelu(x)), no norm (:453-456);
+    - up: norm(convT(relu(h))) (+ tanh/no-norm at the outermost);
+    - dropout 0.5 AFTER upnorm only in the (num_downs-5) middle ngf*8
+      blocks, i.e. levels 4..num_downs-2 (:408-409, :466-469);
+    - the skip concatenated at level L is the level's input tensor (:477).
+    """
     output_nc: int
     num_downs: int = 7
     ngf: int = 64
@@ -122,30 +131,30 @@ class UnetGenerator(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        # width at each level, outermost first (reference :407-420)
+        # down-conv output width at each level, outermost first (:407-413)
         widths = [self.ngf * min(2 ** i, 8) for i in range(self.num_downs)]
+        use_bias = self.norm_type == "instance"
         skips = []
         h = x
         for level in range(self.num_downs):
+            skips.append(h)  # each block's skip is its own input (:477)
+            inp = h if level == 0 else nn.leaky_relu(h, 0.2)
             h = nn.Conv(widths[level], (4, 4), strides=(2, 2),
-                        padding=((1, 1), (1, 1)))(h)
-            if level < self.num_downs - 1:
-                act = nn.leaky_relu(h, 0.2)
-                h = _norm(self.norm_type, not train)(act) if level > 0 else act
-                skips.append(h)
-            else:
-                h = nn.leaky_relu(h, 0.2)
+                        padding=((1, 1), (1, 1)), use_bias=use_bias)(inp)
+            if 0 < level < self.num_downs - 1:
+                h = _norm(self.norm_type, not train)(h)
         for level in reversed(range(self.num_downs)):
             h = nn.relu(h)
             out_nc = self.output_nc if level == 0 else widths[level - 1]
             h = nn.ConvTranspose(out_nc, (4, 4), strides=(2, 2),
-                                 padding="SAME")(h)
+                                 padding="SAME",
+                                 use_bias=True if level == 0 else use_bias)(h)
             if level == 0:
                 return jnp.tanh(h)
             h = _norm(self.norm_type, not train)(h)
-            if self.use_dropout and level >= self.num_downs - 4:
+            if self.use_dropout and 4 <= level <= self.num_downs - 2:
                 h = nn.Dropout(0.5, deterministic=not train)(h)
-            h = jnp.concatenate([skips[level - 1], h], axis=-1)
+            h = jnp.concatenate([skips[level], h], axis=-1)
         return h
 
 
@@ -160,17 +169,18 @@ class NLayerDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        use_bias = self.norm_type == "instance"
         x = nn.Conv(self.ndf, (4, 4), strides=(2, 2),
                     padding=((1, 1), (1, 1)))(x)
         x = nn.leaky_relu(x, 0.2)
         for n in range(1, self.n_layers):
             mult = min(2 ** n, 8)
             x = nn.Conv(self.ndf * mult, (4, 4), strides=(2, 2),
-                        padding=((1, 1), (1, 1)))(x)
+                        padding=((1, 1), (1, 1)), use_bias=use_bias)(x)
             x = nn.leaky_relu(_norm(self.norm_type, not train)(x), 0.2)
         mult = min(2 ** self.n_layers, 8)
         x = nn.Conv(self.ndf * mult, (4, 4), strides=(1, 1),
-                    padding=((1, 1), (1, 1)))(x)
+                    padding=((1, 1), (1, 1)), use_bias=use_bias)(x)
         x = nn.leaky_relu(_norm(self.norm_type, not train)(x), 0.2)
         x = nn.Conv(1, (4, 4), strides=(1, 1), padding=((1, 1), (1, 1)))(x)
         if self.use_sigmoid:

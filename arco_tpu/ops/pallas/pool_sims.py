@@ -12,6 +12,13 @@ the [B, K] partial products on the VPU (lane-parallel FMAs + a minor-axis
 reduction per chunk), so throughput is set by the HBM DMA, not by MXU tile
 latency.
 
+Status: NOT on the production path. Keeping the pool in its native 4-D
+tiled shape and contracting with dot_general (losses/consistency.py) hits
+~9 ms at the reference sizes on v5e — faster than this kernel's measured
+8.7 ms + pad/flatten overhead once the queries need reshaping. The kernel
+remains the fallback for genuinely-2D pool layouts (measured 46 ms via XLA
+there) and is parity-tested in tests/test_pool_sims.py.
+
 Grid: (F // chunk,). Per step:
     s_blk [B, T] and p_blk [K, T] arrive in VMEM;
     acc[b, k] += sum_t s_blk[b, t] * p_blk[k, t]

@@ -63,6 +63,14 @@ def enqueue_fixed(data: jnp.ndarray, ptr: jnp.ndarray,
     """
     b = keys.shape[0]
     cap = data.shape[0]
+    if cap % b:
+        # dynamic_update_slice clamps at the boundary: a non-divisible
+        # batch would silently double-write the tail rows and starve the
+        # head. The reference asserts K % batch_size == 0
+        # (train_arco_2d.py:113); surface the same constraint here.
+        raise ValueError(
+            f"ring-buffer capacity ({cap}) must be divisible by the "
+            f"enqueue batch ({b}); adjust K / batch sizes")
     start = (ptr,) + (jnp.array(0, ptr.dtype),) * (data.ndim - 1)
     new_data = jax.lax.dynamic_update_slice(data, keys.astype(data.dtype), start)
     new_ptr = ((ptr + b) % cap).astype(ptr.dtype)

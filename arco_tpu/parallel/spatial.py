@@ -106,6 +106,11 @@ def sharded_volume_forward(forward: Callable, mesh: Mesh, *,
         return out
 
     def call(volume):
+        if halo < 1:
+            # slice(-0, None) would take the WHOLE shard as the high slab;
+            # a halo-free forward needs no exchange — call `forward` plain
+            raise ValueError("halo must be >= 1 (for halo=0 run the "
+                             "forward without sharded_volume_forward)")
         n_shards = mesh.shape[mesh_axis]
         dim = volume.shape[spatial_axis]
         if dim % n_shards:

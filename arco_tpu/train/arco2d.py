@@ -43,6 +43,7 @@ from arco_tpu.losses.contrastive import (MemoBank,
                                          create_memobank, descending_rank)
 from arco_tpu.losses.supervised import cross_entropy, dice_loss, one_hot
 from arco_tpu.models.heads import FeatureExtractor, QRepresentation
+from arco_tpu.ops import normalize
 from arco_tpu.ops.interpolate import resize_nearest
 from arco_tpu.ops.ring_buffer import enqueue_fixed
 from arco_tpu.utils.tree import ema_update
@@ -154,9 +155,9 @@ def init_arco_state(rng, modules: ArcoModules, cfg, input_shape, tx,
     build = jax.jit(functools.partial(
         _build_arco_state, modules=modules, cfg=cfg,
         input_shape=tuple(input_shape), tx=tx, pool_dtype=pool_dtype))
-    if model_params is None:
-        return build(rng, None, None)
-    return build(rng, model_params, model_batch_stats or {})
+    # None must stay None (BN models fall back to freshly-initialized
+    # batch stats inside); an explicit {} means "model has no stats"
+    return build(rng, model_params, model_batch_stats)
 
 
 def _build_arco_state(rng, model_params, model_batch_stats, *, modules,
@@ -186,9 +187,7 @@ def _build_arco_state(rng, model_params, model_batch_stats, *, modules,
     # [K, 32M] forces multi-GB relayouts on TPU (see losses/consistency.py)
     pool_row_shape = tuple(int(d) for d in fused.shape[1:])
     pool = jax.random.normal(k_pool, (cfg.K,) + pool_row_shape, jnp.float32)
-    norm = jnp.sqrt(jnp.sum(jnp.square(pool),
-                            axis=tuple(range(1, pool.ndim)), keepdims=True))
-    pool = pool / (norm + 1e-12)
+    pool = normalize.l2_normalize(pool, normalize.feature_axes(pool))
 
     memobank = create_memobank(
         num_classes=_num_classes_of(modules.model), feat=fused.shape[-1],
@@ -478,10 +477,9 @@ def make_arco_step(modules: ArcoModules, cfg, tx, num_classes: int,
 
         # random-pool enqueue (train_arco_2d.py:400-402); keys stay in the
         # rep's native shape — normalized over the feature axes
-        fax = tuple(range(1, rep_u_teacher.ndim))
-        keys = rep_u_teacher.astype(jnp.float32)
-        knorm = jnp.sqrt(jnp.sum(jnp.square(keys), axis=fax, keepdims=True))
-        keys = keys / (knorm + 1e-12)
+        keys = normalize.l2_normalize(
+            rep_u_teacher.astype(jnp.float32),
+            normalize.feature_axes(rep_u_teacher))
         pool, pool_ptr = enqueue_fixed(state.random_pool,
                                        state.random_pool_ptr, keys)
 

@@ -37,6 +37,17 @@ def enable_persistent_cache(path: str = None) -> str | None:
     if jax.config.jax_platforms and \
             str(jax.config.jax_platforms).strip().lower() == "cpu":
         return None
+    # If a backend is ALREADY initialized, trust it over the env (covers
+    # implicit CPU fallback when no accelerator plugin is present). The
+    # check never initializes a backend itself — that could block for
+    # minutes when the TPU tunnel is down.
+    try:
+        from jax._src import xla_bridge as _xb
+        if _xb.backends_are_initialized() and \
+                jax.default_backend() == "cpu":
+            return None
+    except Exception:
+        pass
 
     path = path or DEFAULT_DIR
     os.makedirs(path, exist_ok=True)

@@ -11,7 +11,7 @@ from arco_tpu.models import gan
 class TestGANLoss:
     def test_lsgan_real_fake(self):
         pred = jnp.full((2, 4, 4, 1), 0.5)
-        real = gan_loss = gan.gan_loss(pred, True, use_lsgan=True)
+        real = gan.gan_loss(pred, True, use_lsgan=True)
         fake = gan.gan_loss(pred, False, use_lsgan=True)
         np.testing.assert_allclose(float(real), 0.25, atol=1e-6)
         np.testing.assert_allclose(float(fake), 0.25, atol=1e-6)
@@ -44,6 +44,30 @@ class TestGenerators:
         m = gan.UnetGenerator(1, num_downs=7, ngf=4)
         widths = [4 * min(2 ** i, 8) for i in range(7)]
         assert max(widths) == 32
+
+    def test_unet_generator_structure_matches_reference(self):
+        """Block structure parity with UnetSkipConnectionBlock
+        (networks_other.py:427-478): skip channels come from each block's
+        INPUT, dropout only in the middle ngf*8 blocks, norm-free outermost
+        and innermost down stages."""
+        m = gan.UnetGenerator(3, num_downs=7, ngf=4, use_dropout=True,
+                              norm_type="instance")
+        x = jnp.zeros((1, 128, 128, 3))
+        params = m.init({"params": jax.random.PRNGKey(0),
+                         "dropout": jax.random.PRNGKey(1)}, x, train=True)
+        # upconv at level L consumes cat([skip_L, up_{L+1}]): for level 1
+        # the skip is the level-1 input (width ngf from the level-0 conv),
+        # so the kernel's input dim is widths[0] + widths[0] = 8
+        p = params["params"]
+        convT_names = sorted(k for k in p if k.startswith("ConvTranspose"))
+        in_dims = {k: p[k]["kernel"].shape[2] for k in convT_names}
+        # innermost upconv input = widths[-1] (no concat below it) = 32
+        assert 32 in in_dims.values()
+        # outermost upconv input = widths[0] + widths[0] = 8
+        assert 8 in in_dims.values()
+        y = m.apply(params, x, train=True,
+                    rngs={"dropout": jax.random.PRNGKey(2)})
+        assert y.shape == (1, 128, 128, 3)
 
     def test_unknown_name_raises(self):
         with pytest.raises(NotImplementedError):

@@ -39,3 +39,14 @@ def test_sharded_whole_volume_matches_unsharded():
     assert agree > 0.97, agree
     # interior (away from global depth edges) matches exactly
     np.testing.assert_array_equal(pred[24:40], want[24:40])
+
+
+def test_sharded_nonlattice_inplane_shape():
+    """Real volumes have non-lattice in-plane extents (LA: e.g. 141x113);
+    the wrapper must pad H/W to the stride lattice and crop back."""
+    seg = _make_segmenter()
+    mesh = create_mesh((2,), ("data",), devices=jax.devices()[:2])
+    rng = np.random.RandomState(1)
+    vol = rng.randn(40, 37, 29).astype(np.float32)
+    pred = seg.predict_volume_sharded(vol, mesh=mesh, halo=8, lattice=16)
+    assert pred.shape == vol.shape
