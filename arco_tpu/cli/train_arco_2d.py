@@ -116,6 +116,7 @@ def train(cfg: TrainConfig, snapshot_path: str):
 
     t0 = time.time()
     start_it = int(state.step)
+    loss_history = []
     for it, batch in enumerate(pipeline, start=start_it + 1):
         dev_batch = {"image_l": jnp.asarray(batch["image_l"]),
                      "label_l": jnp.asarray(batch["label_l"]),
@@ -123,6 +124,7 @@ def train(cfg: TrainConfig, snapshot_path: str):
         state, metrics = step_fn(state, dev_batch)
         if it % cfg.log_every == 0:
             metrics = {k: float(v) for k, v in metrics.items()}
+            loss_history.append(metrics["loss"])
             ips = cfg.log_every * bs / (time.time() - t0)
             t0 = time.time()
             logger.log(it, {**metrics, "images_per_sec": ips})
@@ -132,6 +134,12 @@ def train(cfg: TrainConfig, snapshot_path: str):
                 it, metrics["loss"], metrics["loss_ce"],
                 metrics["loss_dice"], metrics["reco_loss"],
                 metrics["unsup_loss"], metrics["loss_eqv"], ips)
+        if it % (cfg.log_every * 10) == 0:
+            # TB image grids every ~10 log intervals
+            # (train_arco_2d.py:441-459: image / prediction / label)
+            logger.log_images(it, {
+                "train/Image": batch["image_l"][0],
+                "train/GroundTruth": batch["label_l"][0].astype("int32")})
         if it % cfg.ckpt_every == 0:
             ckpt.save_state(snapshot_path, it, state)
             logging.info("saved checkpoint iter_%d", it)
@@ -139,6 +147,7 @@ def train(cfg: TrainConfig, snapshot_path: str):
             break
     pipeline.close()
     ckpt.save_state(snapshot_path, int(state.step), state)
+    logger.log_history_pickle(snapshot_path, loss_history)
     return "Training Finished!"
 
 

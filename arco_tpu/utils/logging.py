@@ -45,6 +45,29 @@ class MetricLogger:
             for k, v in metrics.items():
                 self.tb.add_scalar(_TB_NAME_MAP.get(k, k), float(v), step)
 
+    def log_images(self, step: int, images: Dict[str, "object"]):
+        """TB image grids (train_arco_2d.py:441-459 parity).
+
+        images: name -> [H, W] / [H, W, C] float array in [0, 1] or a label
+        map (int). Label maps are scaled by 50 like the reference
+        (`... * 50`, train_arco_2d.py:448-455)."""
+        if self.tb is None:
+            return
+        import numpy as np
+        for name, img in images.items():
+            arr = np.asarray(img)
+            if arr.ndim == 2:
+                arr = arr[..., None]
+            if np.issubdtype(arr.dtype, np.integer):
+                arr = (arr.astype(np.float32) * 50.0).clip(0, 255) / 255.0
+            self.tb.add_image(name, arr.transpose(2, 0, 1), step)
+
+    def log_history_pickle(self, snapshot_path: str, history):
+        """record.pkl parity (train_arco_2d.py:477-478)."""
+        import pickle
+        with open(os.path.join(snapshot_path, "record.pkl"), "wb") as f:
+            pickle.dump(history, f)
+
     def close(self):
         self.jsonl.close()
         if self.tb is not None:
