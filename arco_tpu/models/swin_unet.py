@@ -108,11 +108,21 @@ class SwinBlock(nn.Module):
         x = nn.LayerNorm(dtype=self.dtype)(x)
         if shift:
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+        # pad to window multiples (the reference requires img_size/window
+        # compatibility — 224/7; padding makes any resolution work, e.g.
+        # 224 with the zoo's window 8 hits a 28x28 stage)
+        ph = (-h) % ws
+        pw = (-w) % ws
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        hp, wp = h + ph, w + pw
         windows = window_partition(x, ws)
-        mask = shift_mask(h, w, ws, shift) if shift else None
+        mask = shift_mask(hp, wp, ws, shift) if shift else None
         attn = WindowAttention(self.dim, self.num_heads, ws,
                                self.dtype)(windows, mask)
-        x = window_reverse(attn, ws, h, w)
+        x = window_reverse(attn, ws, hp, wp)
+        if ph or pw:
+            x = x[:, :h, :w]
         if shift:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
         x = shortcut + x
