@@ -33,6 +33,13 @@ def main(argv=None):
     p.add_argument("--snapshot_dir", type=str, default="../model")
     p.add_argument("--iteration", type=int, default=None,
                    help="checkpoint iteration; default = latest")
+    p.add_argument("--startEpoch", type=int, default=None,
+                   help="sweep: first checkpoint iteration "
+                        "(test_2D.py:140-157 parity)")
+    p.add_argument("--endEpoch", type=int, default=None,
+                   help="sweep: last checkpoint iteration (inclusive)")
+    p.add_argument("--stepEpoch", type=int, default=1000,
+                   help="sweep: iteration stride between checkpoints")
     p.add_argument("--input_size", type=int, nargs=2, default=[256, 256])
     p.add_argument("--save_predictions", type=int, default=0,
                    help="write <case>_pred/_img/_gt volumes next to the "
@@ -43,21 +50,37 @@ def main(argv=None):
     snapshot = os.path.join(
         args.snapshot_dir, f"{args.exp}_{args.labeled_num}_labeledfinal",
         args.model)
-    step = args.iteration or ckpt.latest_step(snapshot)
-    if step is None:
-        raise SystemExit(f"no checkpoint found under {snapshot}")
-    params, stats = ckpt.load_model_params(snapshot, step, None, None)
+
+    # checkpoint selection: single --iteration (default latest) or a
+    # reference-style sweep over saved checkpoints (test_2D.py:140-157)
+    if args.startEpoch is not None:
+        end = args.endEpoch if args.endEpoch is not None \
+            else (ckpt.latest_step(snapshot) or args.startEpoch)
+        steps = [s for s in range(args.startEpoch, end + 1, args.stepEpoch)
+                 if os.path.isdir(os.path.join(snapshot, f"iter_{s}"))]
+        if not steps:
+            raise SystemExit(
+                f"no checkpoints in [{args.startEpoch}, {end}] under "
+                f"{snapshot}")
+    else:
+        step = args.iteration or ckpt.latest_step(snapshot)
+        if step is None:
+            raise SystemExit(f"no checkpoint found under {snapshot}")
+        steps = [step]
 
     model = net_factory(args.model, in_chns=1, class_num=args.num_classes)
 
-    @jax.jit
-    def predict(x):
-        variables = {"params": params}
-        if stats:
-            variables["batch_stats"] = stats
-        logits, _, _ = model.apply(variables, x, train=False,
-                                   rngs={"dropout": jax.random.PRNGKey(0)})
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    def make_predict(params, stats):
+        @jax.jit
+        def predict(x):
+            variables = {"params": params}
+            if stats:
+                variables["batch_stats"] = stats
+            logits, _, _ = model.apply(
+                variables, x, train=False,
+                rngs={"dropout": jax.random.PRNGKey(0)})
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return predict
 
     dataset = SliceDataset(args.root_path, split="val",
                            list_name="test.list")
@@ -65,6 +88,29 @@ def main(argv=None):
     def load(case):
         idx = dataset.sample_list.index(case)
         return dataset.load(idx)
+
+    # sweep path: evaluate each checkpoint, report per-iteration lines and
+    # the best (the reference prints a table and tracks the best epoch)
+    if len(steps) > 1:
+        best = None
+        for s in steps:
+            params, stats = ckpt.load_model_params(snapshot, s, None, None)
+            res = evaluate_2d(dataset.sample_list, load,
+                              make_predict(params, stats),
+                              args.num_classes, tuple(args.input_size))
+            mean = res["mean"].tolist()
+            print(json.dumps({"iteration": s, "mean_dice": mean[0],
+                              "mean_jc": mean[1], "mean_hd95": mean[2],
+                              "mean_asd": mean[3]}))
+            if best is None or mean[0] > best[1]:
+                best = (s, mean[0])
+        print(json.dumps({"best_iteration": best[0],
+                          "best_mean_dice": best[1]}))
+        return best
+
+    step = steps[0]
+    params, stats = ckpt.load_model_params(snapshot, step, None, None)
+    predict = make_predict(params, stats)
 
     save_dir = None
     if args.save_predictions:

@@ -66,6 +66,40 @@ class TestSynapseEvalCLI:
 
 
 @pytest.mark.slow
+class TestTest2DSweep:
+    def test_checkpoint_sweep_reports_best(self, tmp_path, capsys):
+        from arco_tpu.cli import test_2d
+        from arco_tpu.data.synthetic import make_acdc_like
+        from arco_tpu.models import net_factory
+
+        root = make_acdc_like(str(tmp_path / "ACDC"), n_train=4, n_val=2,
+                              size=(64, 64), num_classes=3)
+        snap_root = tmp_path / "model"
+        snapshot = snap_root / "ACDC/sweep_7_labeledfinal" / "unet"
+        model = net_factory("unet", in_chns=1, class_num=3)
+        for it in (1000, 2000):
+            variables = model.init({"params": jax.random.PRNGKey(it),
+                                    "dropout": jax.random.PRNGKey(0)},
+                                   jnp.zeros((1, 64, 64, 1)), train=False)
+            state = {"params": {"model": variables["params"]},
+                     "batch_stats": {"model":
+                                     variables.get("batch_stats", {})}}
+            ckpt.save_state(str(snapshot), it, state)
+
+        best = test_2d.main([
+            "--root_path", root, "--exp", "ACDC/sweep",
+            "--num_classes", "3", "--snapshot_dir", str(snap_root),
+            "--input_size", "64", "64",
+            "--startEpoch", "1000", "--endEpoch", "2000",
+            "--stepEpoch", "1000"])
+        out = capsys.readouterr().out.strip().splitlines()
+        payloads = [json.loads(l) for l in out[-3:]]
+        assert {p.get("iteration") for p in payloads[:2]} == {1000, 2000}
+        assert payloads[2]["best_iteration"] in (1000, 2000)
+        assert best[0] == payloads[2]["best_iteration"]
+
+
+@pytest.mark.slow
 class TestLA3DEvalCLI:
     def test_end_to_end_host_path(self, tmp_path):
         from arco_tpu.cli import test_3d
