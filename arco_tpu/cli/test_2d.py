@@ -50,37 +50,28 @@ def main(argv=None):
     snapshot = os.path.join(
         args.snapshot_dir, f"{args.exp}_{args.labeled_num}_labeledfinal",
         args.model)
-
-    # checkpoint selection: single --iteration (default latest) or a
-    # reference-style sweep over saved checkpoints (test_2D.py:140-157)
-    if args.startEpoch is not None:
-        end = args.endEpoch if args.endEpoch is not None \
-            else (ckpt.latest_step(snapshot) or args.startEpoch)
-        steps = [s for s in range(args.startEpoch, end + 1, args.stepEpoch)
-                 if os.path.isdir(os.path.join(snapshot, f"iter_{s}"))]
-        if not steps:
-            raise SystemExit(
-                f"no checkpoints in [{args.startEpoch}, {end}] under "
-                f"{snapshot}")
-    else:
-        step = args.iteration or ckpt.latest_step(snapshot)
-        if step is None:
-            raise SystemExit(f"no checkpoint found under {snapshot}")
-        steps = [step]
+    steps = ckpt.resolve_steps(snapshot, args.iteration, args.startEpoch,
+                               args.endEpoch, args.stepEpoch)
+    if len(steps) > 1 and args.save_predictions:
+        raise SystemExit("--save_predictions is incompatible with a "
+                         "checkpoint sweep; pass --iteration instead")
 
     model = net_factory(args.model, in_chns=1, class_num=args.num_classes)
 
+    # ONE jitted program for all checkpoints: params/stats are traced
+    # arguments, not baked-in constants, so a 30-checkpoint sweep compiles
+    # once instead of 30 times (~10 min each on the tunneled backend)
+    @jax.jit
+    def predict_with(params, stats, x):
+        variables = {"params": params}
+        if stats:
+            variables["batch_stats"] = stats
+        logits, _, _ = model.apply(variables, x, train=False,
+                                   rngs={"dropout": jax.random.PRNGKey(0)})
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
     def make_predict(params, stats):
-        @jax.jit
-        def predict(x):
-            variables = {"params": params}
-            if stats:
-                variables["batch_stats"] = stats
-            logits, _, _ = model.apply(
-                variables, x, train=False,
-                rngs={"dropout": jax.random.PRNGKey(0)})
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return predict
+        return lambda x: predict_with(params, stats, x)
 
     dataset = SliceDataset(args.root_path, split="val",
                            list_name="test.list")

@@ -25,15 +25,22 @@ from arco_tpu.models import net_factory_3d
 from arco_tpu.train import checkpoint as ckpt
 
 
-def _evaluate_checkpoint(args, model, dataset, load, params, stats):
+def _make_predict(model):
+    # ONE jitted program reused across the checkpoint sweep: params/stats
+    # are traced arguments, not baked-in constants (one compile, not N)
     @jax.jit
-    def predict(x):
+    def predict_with(params, stats, x):
         variables = {"params": params}
         if stats:
             variables["batch_stats"] = stats
         logits, _, _ = model.apply(variables, x, train=False,
                                    rngs={"dropout": jax.random.PRNGKey(0)})
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    return predict_with
+
+
+def _evaluate_checkpoint(args, predict_with, dataset, load, params, stats):
+    predict = lambda x: predict_with(params, stats, x)
 
     if args.device_eval:
         import numpy as np
@@ -88,22 +95,11 @@ def main(argv=None):
     snapshot = os.path.join(
         args.snapshot_dir, f"{args.exp}_{args.labeled_num}_labeledfinal",
         args.model)
-    if args.startEpoch is not None:
-        end = args.endEpoch if args.endEpoch is not None \
-            else (ckpt.latest_step(snapshot) or args.startEpoch)
-        steps = [s for s in range(args.startEpoch, end + 1, args.stepEpoch)
-                 if os.path.isdir(os.path.join(snapshot, f"iter_{s}"))]
-        if not steps:
-            raise SystemExit(
-                f"no checkpoints in [{args.startEpoch}, {end}] under "
-                f"{snapshot}")
-    else:
-        step = args.iteration or ckpt.latest_step(snapshot)
-        if step is None:
-            raise SystemExit(f"no checkpoint found under {snapshot}")
-        steps = [step]
+    steps = ckpt.resolve_steps(snapshot, args.iteration, args.startEpoch,
+                               args.endEpoch, args.stepEpoch)
 
     model = net_factory_3d(args.model, in_chns=1, class_num=args.num_classes)
+    predict_with = _make_predict(model)
     dataset = LAHeartDataset(args.root_path, split="test")
 
     def load(case):
@@ -114,8 +110,8 @@ def main(argv=None):
     result = None
     for s in steps:
         params, stats = ckpt.load_model_params(snapshot, s, None, None)
-        result = _evaluate_checkpoint(args, model, dataset, load, params,
-                                      stats)
+        result = _evaluate_checkpoint(args, predict_with, dataset, load,
+                                      params, stats)
         mean = result["mean"].tolist()
         print(json.dumps({"iteration": s, "mean_dice": mean[0],
                           "mean_jc": mean[1], "mean_hd95": mean[2],

@@ -122,9 +122,12 @@ def train(cfg: TrainConfig, snapshot_path: str):
                      "label_l": jnp.asarray(batch["label_l"]),
                      "image_u": jnp.asarray(batch["image_u"])}
         state, metrics = step_fn(state, dev_batch)
+        # reference appends loss.item() EVERY iteration
+        # (train_arco_2d.py:437); keep the device scalar — no host sync —
+        # and fetch the whole history once at save time
+        loss_history.append(metrics["loss"])
         if it % cfg.log_every == 0:
             metrics = {k: float(v) for k, v in metrics.items()}
-            loss_history.append(metrics["loss"])
             ips = cfg.log_every * bs / (time.time() - t0)
             t0 = time.time()
             logger.log(it, {**metrics, "images_per_sec": ips})
@@ -147,7 +150,8 @@ def train(cfg: TrainConfig, snapshot_path: str):
             break
     pipeline.close()
     ckpt.save_state(snapshot_path, int(state.step), state)
-    logger.log_history_pickle(snapshot_path, loss_history)
+    logger.log_history_pickle(
+        snapshot_path, [float(v) for v in jax.device_get(loss_history)])
     return "Training Finished!"
 
 

@@ -35,11 +35,11 @@ def _norm(norm_type: str, use_running_average: bool = True):
     raise NotImplementedError(f"norm layer [{norm_type}] not found")
 
 
-def _reflect_conv(x, features, kernel, strides=1, name=None, module=None):
+def _reflect_conv(x, features, kernel, strides=1):
     pad = kernel // 2
     x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
-    return nn.Conv(features, (kernel, kernel), strides=(strides, strides),
-                   padding="VALID", name=name)(x)
+    return nn.Conv(features, (kernel, kernel),
+                   strides=(strides, strides), padding="VALID")(x)
 
 
 def gan_loss(pred, target_is_real: bool, use_lsgan: bool = True,

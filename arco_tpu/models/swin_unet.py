@@ -106,25 +106,28 @@ class SwinBlock(nn.Module):
         shift = self.shift if ws < min(h, w) else 0
         shortcut = x
         x = nn.LayerNorm(dtype=self.dtype)(x)
-        if shift:
-            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
-        # pad to window multiples (the reference requires img_size/window
-        # compatibility — 224/7; padding makes any resolution work, e.g.
-        # 224 with the zoo's window 8 hits a 28x28 stage)
+        # pad to window multiples BEFORE the cyclic shift (official Swin
+        # ordering: pad -> roll -> partition; padding after the roll would
+        # misalign the shift mask's regions with the wrapped rows and let
+        # opposite image edges attend unmasked). The reference requires
+        # img_size/window compatibility (224/7); padding makes any
+        # resolution work, e.g. 224 with the zoo's window 8 -> 28x28 stage.
         ph = (-h) % ws
         pw = (-w) % ws
         if ph or pw:
             x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
         hp, wp = h + ph, w + pw
+        if shift:
+            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
         windows = window_partition(x, ws)
         mask = shift_mask(hp, wp, ws, shift) if shift else None
         attn = WindowAttention(self.dim, self.num_heads, ws,
                                self.dtype)(windows, mask)
         x = window_reverse(attn, ws, hp, wp)
-        if ph or pw:
-            x = x[:, :h, :w]
         if shift:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
+        if ph or pw:
+            x = x[:, :h, :w]
         x = shortcut + x
         y = nn.LayerNorm(dtype=self.dtype)(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype)(y)

@@ -46,6 +46,27 @@ def latest_step(snapshot_dir: str) -> Optional[int]:
     return max(steps) if steps else None
 
 
+def resolve_steps(snapshot_dir: str, iteration: Optional[int],
+                  start: Optional[int], end: Optional[int],
+                  stride: int) -> list:
+    """Checkpoint selection shared by the eval CLIs: either one iteration
+    (default latest) or a reference-style sweep over saved iter_<N> dirs
+    (test_2D.py:140-157, test_3D.py:39-41)."""
+    if start is not None:
+        last = end if end is not None else (latest_step(snapshot_dir)
+                                            or start)
+        steps = [s for s in range(start, last + 1, stride)
+                 if os.path.isdir(_path(snapshot_dir, s))]
+        if not steps:
+            raise SystemExit(
+                f"no checkpoints in [{start}, {last}] under {snapshot_dir}")
+        return steps
+    step = iteration or latest_step(snapshot_dir)
+    if step is None:
+        raise SystemExit(f"no checkpoint found under {snapshot_dir}")
+    return [step]
+
+
 def load_model_params(snapshot_dir: str, step: int, params_like: Any,
                       batch_stats_like: Any):
     """Stage-1 -> stage-2 handoff: pull just the backbone params (+BN stats)
