@@ -1,21 +1,35 @@
 """Benchmark harness: full ARCO 2D train-step throughput on the local chip.
 
 Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+    {"metric": "...", "value": N, "unit": "images/sec/chip",
+     "vs_baseline": N, "backend": "tpu"|"cpu"}
 
 The reference publishes no numbers (BASELINE.md); the north star is >=5x the
 PyTorch-CPU reference step throughput at matched settings. ``vs_baseline``
 compares against a torch-CPU proxy of the reference step measured in-process
-(6 U-Net forwards + backward through 4, reference arch and batch); if torch
-is unavailable the ratio is reported as 0.
+(6 U-Net forwards + backward through 4, reference arch and batch) at the SAME
+shape as the JAX measurement, so the ratio is meaningful on both backends.
+
+Robustness (round-1 postmortem: the official record fell back to CPU because
+the tunneled TPU backend hung): the parent process runs each backend attempt
+in a bounded SUBPROCESS — a hung tunnel can't hang the bench, and falling
+back never requires in-process backend juggling. TPU is attempted twice
+(tunnel flaps recover on minute timescales) before the CPU fallback, and the
+persistent XLA cache keeps warm-compile attempts fast.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+# generous: a cold remote compile over the tunnel took ~11 min in round 1;
+# warm-cache runs finish in ~2 min
+TPU_ATTEMPT_TIMEOUTS = (1500.0, 600.0)
+CPU_TIMEOUT = 1500.0
 
 
 def bench_arco_step(steps: int = 20, warmup: int = 2, batch: int = 4,
@@ -145,55 +159,27 @@ def bench_torch_cpu_proxy(hw: int = 256, batch: int = 4, k: int = 4,
     return steps * 2 * batch / dt
 
 
-def ensure_live_backend(timeout_s: float = 240.0, retries: int = 2):
-    """The tunneled TPU backend can hang indefinitely when the relay is
-    down; probe it with a watchdog (generous: a cold remote-compile
-    handshake can take minutes) and retry before falling back to CPU so
-    the bench always produces a result."""
-    import threading
-
-    import jax
-
-    for attempt in range(retries):
-        ok = []
-
-        def probe():
-            try:
-                import jax.numpy as jnp
-                float(jnp.ones(2).sum())
-                ok.append(True)
-            except Exception:
-                pass
-
-        t = threading.Thread(target=probe, daemon=True)
-        t.start()
-        t.join(timeout_s)
-        if ok:
-            return
-        print(f"# device probe attempt {attempt + 1} exceeded {timeout_s}s",
-              file=sys.stderr)
-    print("# falling back to CPU", file=sys.stderr)
-    try:
-        from jax.extend.backend import clear_backends
-        clear_backends()
-    except Exception:
-        pass
-    jax.config.update("jax_platforms", "cpu")
-
-
-def main():
-    quick = "--quick" in sys.argv
-    ensure_live_backend()
-    import jax
-    if jax.devices()[0].platform != "cpu":
-        # TPU only: reloading CPU AOT cache entries across heterogeneous
-        # hosts trips machine-feature mismatches (and the CPU programs
-        # compile in seconds anyway)
+def child_main(backend: str, quick: bool) -> None:
+    """One backend attempt; prints the final JSON line on success."""
+    if backend == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        # persistent cache: warm attempts skip the ~11-min remote compile.
+        # TPU only — reloading CPU AOT entries across heterogeneous hosts
+        # trips machine-feature mismatches (and CPU compiles in seconds).
         from arco_tpu.utils.compile_cache import enable_persistent_cache
         enable_persistent_cache()
+        import jax
+        if jax.devices()[0].platform == "cpu":
+            print("# child: TPU requested but backend resolved to CPU",
+                  file=sys.stderr)
+            sys.exit(3)
+
     ips, hw, batch = bench_arco_step(steps=5 if quick else 20)
     baseline = None
-    if not quick and hw == 256:
+    if not quick:
         try:
             baseline = bench_torch_cpu_proxy(hw=hw, batch=batch)
         except Exception:
@@ -202,7 +188,63 @@ def main():
     print(json.dumps({
         "metric": f"ARCO-2D train step throughput ({hw}x{hw}, bs {batch}+{batch})",
         "value": round(ips, 3), "unit": "images/sec/chip",
-        "vs_baseline": vs}))
+        "vs_baseline": vs, "backend": backend}))
+
+
+def run_child(backend: str, quick: bool, timeout_s: float):
+    """Run one attempt in a subprocess; return its JSON line or None."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--child",
+           f"--backend={backend}"]
+    if quick:
+        cmd.append("--quick")
+    try:
+        proc = subprocess.run(
+            cmd, timeout=timeout_s, capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        print(f"# {backend} attempt exceeded {timeout_s:.0f}s", file=sys.stderr)
+        return None
+    if proc.stderr:
+        sys.stderr.write(proc.stderr)
+    if proc.returncode != 0:
+        print(f"# {backend} attempt exited rc={proc.returncode}",
+              file=sys.stderr)
+        return None
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                json.loads(line)
+                return line
+            except ValueError:
+                continue
+    print(f"# {backend} attempt produced no JSON line", file=sys.stderr)
+    return None
+
+
+def main():
+    quick = "--quick" in sys.argv
+    if "--child" in sys.argv:
+        backend = "cpu" if "--backend=cpu" in sys.argv else "tpu"
+        child_main(backend, quick)
+        return
+
+    for timeout_s in TPU_ATTEMPT_TIMEOUTS:
+        line = run_child("tpu", quick, timeout_s)
+        if line:
+            print(line)
+            return
+    print("# falling back to CPU", file=sys.stderr)
+    line = run_child("cpu", quick, CPU_TIMEOUT)
+    if line:
+        print(line)
+        return
+    # last resort: emit an explicit failure record rather than nothing
+    print(json.dumps({
+        "metric": "ARCO-2D train step throughput (unavailable)",
+        "value": 0, "unit": "images/sec/chip", "vs_baseline": 0,
+        "backend": "none"}))
+    sys.exit(1)
 
 
 if __name__ == "__main__":
