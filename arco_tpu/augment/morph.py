@@ -178,12 +178,18 @@ class AdvMorph:
 
 
 def adv_morph_batch(rng, images: jnp.ndarray, p: float = 0.5,
-                    epsilon: float = 1.5) -> jnp.ndarray:
+                    epsilon: float = 1.5,
+                    coarse_exp: bool = True) -> jnp.ndarray:
     """50%-probability whole-batch morph, as applied at the end of
-    batch_transform (augment.py:271-279): vector grid = image_size // 8."""
+    batch_transform (augment.py:271-279): vector grid = image_size // 8.
+
+    ``coarse_exp=False`` uses the reference-exact full-resolution field
+    exponentiation (slower; see AdvMorph.coarse_exp / ArcoConfig
+    morph_coarse_exp)."""
     b, h, w, _ = images.shape
     k_p, k_v = jax.random.split(rng)
     morph = AdvMorph(data_size=(b, h, w, images.shape[-1]),
-                     vector_size=(w // 8, w // 8), epsilon=epsilon)
+                     vector_size=(w // 8, w // 8), epsilon=epsilon,
+                     coarse_exp=coarse_exp)
     warped = morph.forward(k_v, images)
     return jnp.where(jax.random.uniform(k_p) > p, warped, images)

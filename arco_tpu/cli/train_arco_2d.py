@@ -93,18 +93,33 @@ def train(cfg: TrainConfig, snapshot_path: str):
             model_params, model_stats = ckpt.load_model_params(
                 resume_dir, step, None, None)
 
+    # local ImageNet-pretrained backbone ingestion (ViT .npz / Swin .pth /
+    # EfficientNet .pth), the reference's load_from equivalents
+    if cfg.pretrained_path and model_params is None:
+        from arco_tpu.compat.pretrained import load_pretrained
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            jnp.zeros((1, h, w, cfg.data.in_channels)), train=False)
+        model_params, model_stats = load_pretrained(
+            cfg.model, cfg.pretrained_path, variables["params"],
+            variables.get("batch_stats"))
+        logging.info("loaded pretrained backbone from %s",
+                     cfg.pretrained_path)
+
     state = init_arco_state(jax.random.PRNGKey(cfg.seed), modules, cfg.arco,
                             (b_l, h, w, cfg.data.in_channels), tx,
                             model_params=model_params,
                             model_batch_stats=model_stats)
 
     # crash recovery: resume the FULL state (params, EMA, optimizer, queues,
-    # memobank, PRNG) from this experiment's own latest checkpoint — the
-    # elasticity the reference lacks (SURVEY §5 failure-detection row)
-    own_step = ckpt.latest_step(snapshot_path)
+    # memobank, PRNG) from this experiment's own latest rolling full
+    # checkpoint — the elasticity the reference lacks (SURVEY §5
+    # failure-detection row)
+    own_step = ckpt.latest_full_step(snapshot_path)
     if own_step:
-        logging.info("resuming full train state from iter_%d", own_step)
-        state = ckpt.restore_state(snapshot_path, own_step, state)
+        logging.info("resuming full train state from full_iter_%d", own_step)
+        state = ckpt.restore_full_state(snapshot_path, own_step, state)
 
     step_fn = make_arco_step(modules, cfg.arco, tx, num_classes,
                              cfg.optim.max_iterations,
@@ -116,16 +131,18 @@ def train(cfg: TrainConfig, snapshot_path: str):
 
     t0 = time.time()
     start_it = int(state.step)
-    loss_history = []
+    # record.pkl parity incl. resume (train_arco_2d.py:437,477-478): start
+    # from any previously written history, trimmed to the resume step
+    loss_history = logger.load_history_pickle(snapshot_path)[:start_it]
+    pending = []  # device scalars since the last flush — no host sync
     for it, batch in enumerate(pipeline, start=start_it + 1):
         dev_batch = {"image_l": jnp.asarray(batch["image_l"]),
                      "label_l": jnp.asarray(batch["label_l"]),
                      "image_u": jnp.asarray(batch["image_u"])}
         state, metrics = step_fn(state, dev_batch)
-        # reference appends loss.item() EVERY iteration
-        # (train_arco_2d.py:437); keep the device scalar — no host sync —
-        # and fetch the whole history once at save time
-        loss_history.append(metrics["loss"])
+        pred_l_label = metrics.pop("pred_l_label")
+        # reference appends loss.item() EVERY iteration (train_arco_2d.py:437)
+        pending.append(metrics["loss"])
         if it % cfg.log_every == 0:
             metrics = {k: float(v) for k, v in metrics.items()}
             ips = cfg.log_every * bs / (time.time() - t0)
@@ -138,20 +155,35 @@ def train(cfg: TrainConfig, snapshot_path: str):
                 metrics["loss_dice"], metrics["reco_loss"],
                 metrics["unsup_loss"], metrics["loss_eqv"], ips)
         if it % (cfg.log_every * 10) == 0:
-            # TB image grids every ~10 log intervals
-            # (train_arco_2d.py:441-459: image / prediction / label)
+            # TB image grids every ~10 log intervals, sample index 1 as in
+            # the reference (train_arco_2d.py:441-459: Image / Prediction /
+            # GroundTruth, argmax prediction scaled x50)
+            idx = min(1, b_l - 1)
             logger.log_images(it, {
-                "train/Image": batch["image_l"][0],
-                "train/GroundTruth": batch["label_l"][0].astype("int32")})
+                "train/Image": batch["image_l"][idx],
+                "train/Prediction": np.asarray(pred_l_label[idx]),
+                "train/GroundTruth": batch["label_l"][idx].astype("int32")})
         if it % cfg.ckpt_every == 0:
-            ckpt.save_state(snapshot_path, it, state)
+            # flush the pending loss scalars so record.pkl stays in sync
+            # with the checkpoint and no unbounded device-buffer list grows
+            loss_history.extend(float(v) for v in jax.device_get(pending))
+            pending.clear()
+            # reference-style model checkpoint per cadence + rolling full
+            # state for crash resume (the pool/banks are GB-scale)
+            ckpt.save_model_state(snapshot_path, it, state)
+            if it % (cfg.full_ckpt_every or cfg.ckpt_every) == 0:
+                ckpt.save_full_state(snapshot_path, it, state)
+            logger.log_history_pickle(snapshot_path, loss_history)
             logging.info("saved checkpoint iter_%d", it)
         if it >= cfg.optim.max_iterations:
             break
     pipeline.close()
-    ckpt.save_state(snapshot_path, int(state.step), state)
-    logger.log_history_pickle(
-        snapshot_path, [float(v) for v in jax.device_get(loss_history)])
+    final_it = int(state.step)
+    if final_it % cfg.ckpt_every:
+        ckpt.save_model_state(snapshot_path, final_it, state)
+    ckpt.save_full_state(snapshot_path, final_it, state)
+    loss_history.extend(float(v) for v in jax.device_get(pending))
+    logger.log_history_pickle(snapshot_path, loss_history)
     return "Training Finished!"
 
 

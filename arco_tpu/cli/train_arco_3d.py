@@ -95,6 +95,14 @@ def train(cfg: TrainConfig, snapshot_path: str):
         jax.random.PRNGKey(cfg.seed), modules, cfg.arco,
         (b_l,) + patch + (cfg.data.in_channels,), tx,
         model_params=model_params, model_batch_stats=model_stats)
+
+    # crash recovery: resume the FULL state from this experiment's own
+    # latest rolling full checkpoint (same elasticity as the 2D trainer)
+    own_step = ckpt.latest_full_step(snapshot_path)
+    if own_step:
+        logging.info("resuming full train state from full_iter_%d", own_step)
+        state = ckpt.restore_full_state(snapshot_path, own_step, state)
+
     step_fn = make_arco_step(modules, cfg.arco, tx, num_classes,
                              cfg.optim.max_iterations)
 
@@ -108,11 +116,16 @@ def train(cfg: TrainConfig, snapshot_path: str):
     logger = MetricLogger(snapshot_path)
 
     t0 = time.time()
-    for it, batch in enumerate(pipeline, start=1):
+    start_it = int(state.step)
+    loss_history = logger.load_history_pickle(snapshot_path)[:start_it]
+    pending = []
+    for it, batch in enumerate(pipeline, start=start_it + 1):
         dev_batch = {"image_l": jnp.asarray(batch["image_l"]),
                      "label_l": jnp.asarray(batch["label_l"]),
                      "image_u": jnp.asarray(batch["image_u"])}
         state, metrics = step_fn(state, dev_batch)
+        metrics.pop("pred_l_label")
+        pending.append(metrics["loss"])
         if it % cfg.log_every == 0:
             m = {k: float(v) for k, v in metrics.items()}
             vps = cfg.log_every * bs / (time.time() - t0)
@@ -122,11 +135,21 @@ def train(cfg: TrainConfig, snapshot_path: str):
                 "iteration %d : loss : %f, reco: %f, unsup: %f (%.2f vol/s)",
                 it, m["loss"], m["reco_loss"], m["unsup_loss"], vps)
         if it % cfg.ckpt_every == 0:
-            ckpt.save_state(snapshot_path, it, state)
+            loss_history.extend(float(v) for v in jax.device_get(pending))
+            pending.clear()
+            ckpt.save_model_state(snapshot_path, it, state)
+            if it % (cfg.full_ckpt_every or cfg.ckpt_every) == 0:
+                ckpt.save_full_state(snapshot_path, it, state)
+            logger.log_history_pickle(snapshot_path, loss_history)
         if it >= cfg.optim.max_iterations:
             break
     pipeline.close()
-    ckpt.save_state(snapshot_path, int(state.step), state)
+    final_it = int(state.step)
+    if final_it % cfg.ckpt_every:
+        ckpt.save_model_state(snapshot_path, final_it, state)
+    ckpt.save_full_state(snapshot_path, final_it, state)
+    loss_history.extend(float(v) for v in jax.device_get(pending))
+    logger.log_history_pickle(snapshot_path, loss_history)
     return "Training Finished!"
 
 

@@ -97,6 +97,7 @@ def main(argv=None):
                "label_l": jnp.asarray(batch["label_l"]),
                "image_u": jnp.asarray(batch["image_u"])}
         state, metrics = step_fn(state, dev)
+        metrics.pop("pred_l_label", None)
         if it % 20 == 0:
             m = {k: float(v) for k, v in metrics.items()}
             ips = 20 * args.batch_size * 2 / (time.time() - t0)
@@ -105,11 +106,15 @@ def main(argv=None):
             logging.info("iter %d loss %.4f (%.1f img/s)", it, m["loss"],
                          ips)
         if it % 1000 == 0:
-            ckpt.save_state(snapshot_path, it, state)
+            ckpt.save_model_state(snapshot_path, it, state)
+            ckpt.save_full_state(snapshot_path, it, state)
         if it >= args.max_iterations:
             break
     pipeline.close()
-    ckpt.save_state(snapshot_path, int(state.step), state)
+    final_it = int(state.step)
+    if final_it % 1000:
+        ckpt.save_model_state(snapshot_path, final_it, state)
+    ckpt.save_full_state(snapshot_path, final_it, state)
 
 
 if __name__ == "__main__":

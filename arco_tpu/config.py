@@ -121,6 +121,11 @@ class ArcoConfig:
     # reference's batch_transform is a passthrough (augment_3d.py:209-226)
     use_photometric: bool = True
     use_adv_morph: bool = True
+    # AdvMorph field exponentiation on the coarse lattice (fast,
+    # distributionally-equivalent default; ~35% pointwise deviation from the
+    # reference's full-resolution scaling-and-squaring). Set False
+    # (--arco.morph_coarse_exp 0) for reference-exact deformations.
+    morph_coarse_exp: bool = True
     # ablations (reference --combinations: 0 all, 1 no reco, 2 no unsup,
     # train_arco_2d.py:76) + perf-bisect toggles
     compute_contrastive: bool = True
@@ -150,7 +155,16 @@ class TrainConfig:
     consistency_rampup: float = 200.0
     snapshot_dir: str = "../model"
     resume: str = ""                 # stage-1 checkpoint experiment name
+    # local pretrained checkpoint for the transformer/CNN zoo backbones
+    # (ViT .npz / Swin .pth / EfficientNet .pth; reference
+    # vit_seg_configs.py:18 pretrained_path, swin config PRETRAIN_CKPT).
+    # Zero-egress: the file must already be on disk.
+    pretrained_path: str = ""
     ckpt_every: int = 1000
+    # rolling FULL-state (queues/pool/optimizer) checkpoint cadence for
+    # crash resume; 0 = same as ckpt_every. The full state is GB-scale
+    # (random pool), so long tunneled runs may want this sparser.
+    full_ckpt_every: int = 0
     log_every: int = 20
     # precision: model compute dtype. bf16 keeps MXU fed; params stay f32.
     compute_dtype: str = "bfloat16"

@@ -35,11 +35,11 @@ def _norm(norm_type: str, use_running_average: bool = True):
     raise NotImplementedError(f"norm layer [{norm_type}] not found")
 
 
-def _reflect_conv(x, features, kernel, strides=1):
+def _reflect_conv(x, features, kernel, strides=1, use_bias=True):
     pad = kernel // 2
     x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
-    return nn.Conv(features, (kernel, kernel),
-                   strides=(strides, strides), padding="VALID")(x)
+    return nn.Conv(features, (kernel, kernel), strides=(strides, strides),
+                   padding="VALID", use_bias=use_bias)(x)
 
 
 def gan_loss(pred, target_is_real: bool, use_lsgan: bool = True,
@@ -65,12 +65,15 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = _reflect_conv(x, self.features, 3)
+        # reference passes bias=use_bias (False under batch norm,
+        # networks_other.py:372-388)
+        use_bias = self.norm_type == "instance"
+        h = _reflect_conv(x, self.features, 3, use_bias=use_bias)
         h = _norm(self.norm_type, not train)(h)
         h = nn.relu(h)
         if self.use_dropout:
             h = nn.Dropout(0.5, deterministic=not train)(h)
-        h = _reflect_conv(h, self.features, 3)
+        h = _reflect_conv(h, self.features, 3, use_bias=use_bias)
         h = _norm(self.norm_type, not train)(h)
         return x + h
 
@@ -87,12 +90,15 @@ class ResnetGenerator(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = _reflect_conv(x, self.ngf, 7)
+        # bias=use_bias on every normed conv (networks_other.py:310-340);
+        # the final c7s1-out conv keeps its bias (:341)
+        use_bias = self.norm_type == "instance"
+        x = _reflect_conv(x, self.ngf, 7, use_bias=use_bias)
         x = nn.relu(_norm(self.norm_type, not train)(x))
         for i in range(2):  # downsample
             mult = 2 ** i
             x = nn.Conv(self.ngf * mult * 2, (3, 3), strides=(2, 2),
-                        padding=((1, 1), (1, 1)))(x)
+                        padding=((1, 1), (1, 1)), use_bias=use_bias)(x)
             x = nn.relu(_norm(self.norm_type, not train)(x))
         for _ in range(self.n_blocks):
             x = ResnetBlock(self.ngf * 4, self.norm_type,
@@ -100,7 +106,8 @@ class ResnetGenerator(nn.Module):
         for i in range(2):  # upsample
             mult = 2 ** (2 - i)
             x = nn.ConvTranspose(self.ngf * mult // 2, (3, 3),
-                                 strides=(2, 2), padding="SAME")(x)
+                                 strides=(2, 2), padding="SAME",
+                                 use_bias=use_bias)(x)
             x = nn.relu(_norm(self.norm_type, not train)(x))
         x = _reflect_conv(x, self.output_nc, 7)
         return jnp.tanh(x)

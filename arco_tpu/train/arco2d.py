@@ -106,6 +106,9 @@ def masked_percentiles_histogram(values, mask, pcts, bins: int = 2048,
     flat = values.reshape(-1).astype(jnp.float32)
     m = mask.reshape(-1).astype(jnp.float32)
     hi = hi if hi is not None else jnp.max(flat * m) + 1e-6
+    # all-false mask -> hi == lo == 0 would give 0/0 below; any positive
+    # range works since the result is ignored when n == 0
+    hi = jnp.maximum(hi, lo + 1e-6)
     idx = jnp.clip(((flat - lo) / (hi - lo) * bins).astype(jnp.int32),
                    0, bins - 1)
     hist = jnp.zeros((bins,), jnp.float32).at[idx].add(m)
@@ -117,7 +120,8 @@ def masked_percentiles_histogram(values, mask, pcts, bins: int = 2048,
     for pct in pcts:
         target = pct / 100.0 * n
         b = jnp.searchsorted(cdf, target)
-        outs.append(edges[jnp.clip(b, 0, bins - 1)])
+        out = edges[jnp.clip(b, 0, bins - 1)]
+        outs.append(jnp.where(n > 0, out, 0.0))  # match sort-based n=0 case
     return outs
 
 
@@ -384,7 +388,12 @@ def arco_loss_fn(params, state: ArcoState, modules: ArcoModules, cfg, batch,
         "rep_u_teacher": aug["rep_u_teacher"],
         "metrics": {"loss": loss, "reco_loss": reco, "loss_q": loss_q,
                     "unsup_loss": unsup, "loss_ce": loss_ce,
-                    "loss_dice": loss_dice, "loss_eqv": loss_eqv}}
+                    "loss_dice": loss_dice, "loss_eqv": loss_eqv,
+                    # student labeled prediction for the TB train/Prediction
+                    # grid (train_arco_2d.py:446-450); popped by the CLI
+                    # before scalar logging
+                    "pred_l_label": jnp.argmax(pred_l, axis=-1)
+                    .astype(jnp.int32)}}
     return loss, aux_out
 
 
@@ -433,8 +442,11 @@ def make_arco_step(modules: ArcoModules, cfg, tx, num_classes: int,
             images_cj2_u = batch_photometric(k_cj_u1, images_cj2_u)
             u_aug_strong = batch_photometric(k_cj_u2, u_aug_strong)
         if cfg.use_adv_morph:
-            images_cj2_u = adv_morph_batch(k_morph1, images_cj2_u)
-            u_aug_strong = adv_morph_batch(k_morph2, u_aug_strong)
+            coarse = getattr(cfg, "morph_coarse_exp", True)
+            images_cj2_u = adv_morph_batch(k_morph1, images_cj2_u,
+                                           coarse_exp=coarse)
+            u_aug_strong = adv_morph_batch(k_morph2, u_aug_strong,
+                                           coarse_exp=coarse)
 
         # ---- teacher forwards + fusion (no grad) --------------------------
         pred_l_t, l_fmap_t, ebs = _apply_model(

@@ -28,6 +28,65 @@ def save_state(snapshot_dir: str, step: int, state: Any):
     ckpt.wait_until_finished()
 
 
+def save_model_state(snapshot_dir: str, step: int, state: Any):
+    """Reference-parity lightweight checkpoint: model params + BN stats (+
+    the EMA copy, as pretrain saves iter_N_ema.pth) in the same iter_<N>
+    layout, restorable by `load_model_params` and the eval sweeps.
+
+    The ARCO random pool alone is ~GB-scale, so writing the FULL state at
+    the reference's every-1000-iteration cadence (train_arco_2d.py:462-470)
+    would cost tens of GB per run; per-iteration checkpoints carry only the
+    model (like the reference's .pth files) while `save_full_state` keeps a
+    rolling complete state for crash resume."""
+    tree = {"params": {"model": state.params["model"]},
+            "batch_stats": {"model": state.batch_stats["model"]},
+            "ema_params": {"model": state.ema_params["model"]},
+            "ema_batch_stats": {"model": state.ema_batch_stats["model"]}}
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(_path(snapshot_dir, step), tree, force=True)
+    ckpt.wait_until_finished()
+
+
+def _full_path(snapshot_dir: str, step: int) -> str:
+    return os.path.join(os.path.abspath(snapshot_dir), f"full_iter_{step}")
+
+
+def save_full_state(snapshot_dir: str, step: int, state: Any, keep: int = 2):
+    """Rolling complete-state checkpoint (params, EMA, optimizer, queues,
+    memobank, pool, PRNG) under full_iter_<N>; prunes all but the newest
+    ``keep`` so long runs don't accumulate GB-scale state dumps."""
+    import shutil
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(_full_path(snapshot_dir, step), state, force=True)
+    ckpt.wait_until_finished()
+    steps = sorted(_scan_steps(snapshot_dir, "full_iter_"))
+    for old in steps[:-keep]:
+        shutil.rmtree(_full_path(snapshot_dir, old), ignore_errors=True)
+
+
+def restore_full_state(snapshot_dir: str, step: int, target: Any) -> Any:
+    ckpt = ocp.StandardCheckpointer()
+    return ckpt.restore(_full_path(snapshot_dir, step), target=target)
+
+
+def latest_full_step(snapshot_dir: str) -> Optional[int]:
+    steps = _scan_steps(snapshot_dir, "full_iter_")
+    return max(steps) if steps else None
+
+
+def _scan_steps(snapshot_dir: str, prefix: str) -> list:
+    if not os.path.isdir(snapshot_dir):
+        return []
+    steps = []
+    for name in os.listdir(snapshot_dir):
+        if name.startswith(prefix):
+            try:
+                steps.append(int(name[len(prefix):]))
+            except ValueError:
+                continue
+    return steps
+
+
 def restore_state(snapshot_dir: str, step: int, target: Any) -> Any:
     ckpt = ocp.StandardCheckpointer()
     return ckpt.restore(_path(snapshot_dir, step), target=target)
@@ -52,6 +111,10 @@ def resolve_steps(snapshot_dir: str, iteration: Optional[int],
     """Checkpoint selection shared by the eval CLIs: either one iteration
     (default latest) or a reference-style sweep over saved iter_<N> dirs
     (test_2D.py:140-157, test_3D.py:39-41)."""
+    if iteration is not None and start is not None:
+        raise SystemExit(
+            "--iteration and --startEpoch are mutually exclusive: pass one "
+            "checkpoint or a sweep range, not both")
     if start is not None:
         last = end if end is not None else (latest_step(snapshot_dir)
                                             or start)

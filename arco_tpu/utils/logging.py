@@ -68,6 +68,15 @@ class MetricLogger:
         with open(os.path.join(snapshot_path, "record.pkl"), "wb") as f:
             pickle.dump(history, f)
 
+    def load_history_pickle(self, snapshot_path: str):
+        """Previously written loss history, for resume merge ([] if none)."""
+        import pickle
+        path = os.path.join(snapshot_path, "record.pkl")
+        if not os.path.exists(path):
+            return []
+        with open(path, "rb") as f:
+            return list(pickle.load(f))
+
     def close(self):
         self.jsonl.close()
         if self.tb is not None:

@@ -65,3 +65,33 @@ class TestCheckpointRoundTrip:
         a = jax.tree_util.tree_leaves(params)[0]
         b = jax.tree_util.tree_leaves(state.params["model"])[0]
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_model_only_checkpoint_feeds_eval_and_handoff(self, tmp_path):
+        """save_model_state writes an iter_<N> restorable by
+        load_model_params — the per-1000-iteration sweep checkpoint."""
+        state, step, batch = _build()
+        snapshot = str(tmp_path / "snap3")
+        ckpt.save_model_state(snapshot, 5, state)
+        assert ckpt.latest_step(snapshot) == 5
+        params, stats = ckpt.load_model_params(snapshot, 5, None, None)
+        a = jax.tree_util.tree_leaves(params)[0]
+        b = jax.tree_util.tree_leaves(state.params["model"])[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_rolling_full_state_prunes_and_restores(self, tmp_path):
+        state, step, batch = _build()
+        snapshot = str(tmp_path / "snap4")
+        for s in (1, 2, 3):
+            ckpt.save_full_state(snapshot, s, state, keep=2)
+        assert ckpt.latest_full_step(snapshot) == 3
+        import os
+        names = sorted(n for n in os.listdir(snapshot)
+                       if n.startswith("full_iter_"))
+        assert names == ["full_iter_2", "full_iter_3"]
+        # model-only iter_ scan must not see full_iter dirs
+        assert ckpt.latest_step(snapshot) is None
+        fresh, _, _ = _build()
+        restored = ckpt.restore_full_state(snapshot, 3, fresh)
+        for a, b in zip(jax.tree_util.tree_leaves(state),
+                        jax.tree_util.tree_leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -30,3 +30,15 @@ class TestHistogramPercentile:
         m_e = vals <= float(e_lo)
         m_a = vals <= float(a_lo)
         assert (m_e == m_a).mean() > 0.995
+
+    def test_empty_mask_no_nan(self, rng):
+        """All-false mask (no valid unlabeled pixels) must not produce NaN
+        (VERDICT r1 weak #5: hi == lo == 0 gave 0/0 in the auto-range)."""
+        vals = rng.rand(1024).astype(np.float32)
+        mask = np.zeros(1024, bool)
+        for fn in (masked_percentiles,
+                   lambda v, m, p: masked_percentiles_histogram(v, m, p)):
+            outs = fn(jnp.array(vals), jnp.array(mask), [20.0, 80.0])
+            for o in outs:
+                assert np.isfinite(float(o))
+                assert float(o) == 0.0
