@@ -6,14 +6,30 @@ patch embed 4x4, embed dim 96, encoder depths [2,2,2,2] with window
 attention (window 7 in the reference, configurable here so it divides the
 feature size), patch-merging downsampling, symmetric decoder with
 patch-expanding upsampling and skip concatenation, 4x final expand + 1x1
-head. Relative position bias included.
+head. Full reference config surface (:618-633): qkv_bias / qk_scale,
+drop_rate / attn_drop_rate, stochastic depth (drop_path_rate 0.1, linearly
+scaled over encoder blocks, decoder mirrors the encoder slices), absolute
+position embedding (ape), patch_norm, depths_decoder.
 
-ImageNet-pretrained weights are not downloadable (zero egress).
+Skip taps match the reference dataflow: forward_features records each
+encoder BasicLayer's INPUT (x_downsample.append before layer(x), :755-760),
+so decoder stage s concatenates the post-merge tensor entering encoder
+stage s.
+
+Reference quirk (documented, not replicated blindly): the reference accepts
+depths_decoder=[1,2,2,2] but its BasicLayer_up constructors use `depths`
+(:697-700), so decoder depths actually equal encoder depths. Here
+depths_decoder=None reproduces that effective behavior; passing an explicit
+tuple makes the knob functional (depths_decoder[i] is the depth of decoder
+layer i, i.e. stage 3-i, matching the reference's layers_up indexing).
+
+ImageNet-pretrained weights can be ingested from a local checkpoint via
+arco_tpu.compat.torch_import (zero-egress environment: no auto-download).
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -45,21 +61,44 @@ def relative_position_index(ws: int) -> np.ndarray:
     return (rel[..., 0] * (2 * ws - 1) + rel[..., 1]).astype(np.int32)
 
 
+class DropPath(nn.Module):
+    """Stochastic depth: drop the whole residual branch per sample
+    (timm drop_path semantics used at swin...decoder_sys.py:147)."""
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
 class WindowAttention(nn.Module):
     dim: int
     num_heads: int
     window_size: int
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, mask=None, deterministic: bool = True):
         bw, n, c = x.shape
         ws = self.window_size
         head_dim = self.dim // self.num_heads
-        qkv = nn.Dense(self.dim * 3, dtype=self.dtype)(x)
+        scale = self.qk_scale if self.qk_scale is not None \
+            else head_dim ** -0.5
+        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias,
+                       dtype=self.dtype)(x)
         qkv = qkv.reshape(bw, n, 3, self.num_heads, head_dim)
         q, k, v = [qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3)]
-        attn = (q @ k.transpose(0, 1, 3, 2)) * (head_dim ** -0.5)
+        attn = (q @ k.transpose(0, 1, 3, 2)) * scale
 
         bias_table = self.param(
             "relative_position_bias_table",
@@ -75,8 +114,11 @@ class WindowAttention(nn.Module):
             attn = attn.reshape(bw, self.num_heads, n, n)
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(
             self.dtype)
+        attn = nn.Dropout(self.attn_drop,
+                          deterministic=deterministic)(attn)
         out = (attn @ v).transpose(0, 2, 1, 3).reshape(bw, n, c)
-        return nn.Dense(self.dim, dtype=self.dtype)(out)
+        out = nn.Dense(self.dim, dtype=self.dtype)(out)
+        return nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
 
 
 def shift_mask(h: int, w: int, ws: int, shift: int) -> jnp.ndarray:
@@ -97,10 +139,15 @@ class SwinBlock(nn.Module):
     window_size: int
     shift: int = 0
     mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
         b, h, w, c = x.shape
         ws = min(self.window_size, h, w)
         shift = self.shift if ws < min(h, w) else 0
@@ -122,18 +169,25 @@ class SwinBlock(nn.Module):
         windows = window_partition(x, ws)
         mask = shift_mask(hp, wp, ws, shift) if shift else None
         attn = WindowAttention(self.dim, self.num_heads, ws,
-                               self.dtype)(windows, mask)
+                               qkv_bias=self.qkv_bias,
+                               qk_scale=self.qk_scale,
+                               attn_drop=self.attn_drop,
+                               proj_drop=self.drop,
+                               dtype=self.dtype)(windows, mask,
+                                                 deterministic)
         x = window_reverse(attn, ws, hp, wp)
         if shift:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
         if ph or pw:
             x = x[:, :h, :w]
-        x = shortcut + x
+        x = shortcut + DropPath(self.drop_path)(x, deterministic)
         y = nn.LayerNorm(dtype=self.dtype)(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype)(y)
         y = nn.gelu(y)
+        y = nn.Dropout(self.drop, deterministic=deterministic)(y)
         y = nn.Dense(self.dim, dtype=self.dtype)(y)
-        return x + y
+        y = nn.Dropout(self.drop, deterministic=deterministic)(y)
+        return x + DropPath(self.drop_path)(y, deterministic)
 
 
 class PatchMerging(nn.Module):
@@ -167,50 +221,93 @@ class PatchExpand(nn.Module):
 
 
 class SwinUnet(nn.Module):
-    """SwinTransformerSys parity; returns the ARCO contract."""
+    """SwinTransformerSys parity; returns the ARCO contract
+    (logits, bottleneck latent, encoder skip list)."""
     img_size: int = 224
     num_classes: int = 4
     in_chns: int = 1
     embed_dim: int = 96
     depths: Sequence[int] = (2, 2, 2, 2)
+    depths_decoder: Optional[Sequence[int]] = None
     num_heads: Sequence[int] = (3, 6, 12, 24)
     window_size: int = 8
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.1
+    ape: bool = False
+    patch_norm: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        det = not train
+        n_stages = len(self.depths)
         if x.shape[-1] == 1:
             x = jnp.repeat(x, 3, axis=-1)
-        # patch embed 4x4
+        # patch embed 4x4 (+ optional norm, :651-653 patch_norm)
         h = nn.Conv(self.embed_dim, (4, 4), strides=(4, 4),
                     dtype=self.dtype)(x)
-        h = nn.LayerNorm(dtype=self.dtype)(h)
+        if self.patch_norm:
+            h = nn.LayerNorm(dtype=self.dtype)(h)
+        if self.ape:  # absolute position embedding (:656-660)
+            pos = self.param("absolute_pos_embed",
+                             nn.initializers.normal(0.02),
+                             (1, h.shape[1], h.shape[2], self.embed_dim))
+            h = h + pos.astype(self.dtype)
+        h = nn.Dropout(self.drop_rate, deterministic=det)(h)
 
+        # stochastic depth decay rule: linearly scaled over encoder blocks
+        # (:663-665); decoder mirrors the encoder's per-stage slices
+        total = sum(self.depths)
+        dpr = [float(r) for r in np.linspace(0, self.drop_path_rate,
+                                             total)] if total > 1 else [0.0]
+        stage_dpr = [dpr[sum(self.depths[:i]):sum(self.depths[:i + 1])]
+                     for i in range(n_stages)]
+
+        def blocks(h, dim, stage, depth, det):
+            for blk in range(depth):
+                rates = stage_dpr[stage]
+                h = SwinBlock(dim, self.num_heads[stage], self.window_size,
+                              shift=0 if blk % 2 == 0 else
+                              self.window_size // 2,
+                              mlp_ratio=self.mlp_ratio,
+                              qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+                              drop=self.drop_rate,
+                              attn_drop=self.attn_drop_rate,
+                              drop_path=rates[min(blk, len(rates) - 1)],
+                              dtype=self.dtype)(h, det)
+            return h
+
+        # encoder: skip = each stage's INPUT (forward_features :755-760)
         skips = []
         dim = self.embed_dim
         for stage, depth in enumerate(self.depths):
-            for blk in range(depth):
-                h = SwinBlock(dim, self.num_heads[stage], self.window_size,
-                              shift=0 if blk % 2 == 0 else
-                              self.window_size // 2, dtype=self.dtype)(h)
             skips.append(h)
-            if stage < len(self.depths) - 1:
+            h = blocks(h, dim, stage, depth, det)
+            if stage < n_stages - 1:
                 h = PatchMerging(dim, self.dtype)(h)
                 dim *= 2
+        h = nn.LayerNorm(dtype=self.dtype)(h)  # self.norm (:716)
         latent = h
 
-        # decoder: expand + skip concat + blocks
-        for stage in range(len(self.depths) - 2, -1, -1):
+        # decoder: expand + skip concat + reduce + blocks
+        # (forward_up_features :763-773); decoder depth for stage s =
+        # depths_decoder[n-1-s] when given, else encoder depths[s]
+        # (the reference's effective behavior, :697-700)
+        for stage in range(n_stages - 2, -1, -1):
             h = PatchExpand(dim, 2, self.dtype)(h)
             dim //= 2
             h = jnp.concatenate([h, skips[stage]], axis=-1)
-            h = nn.Dense(dim, dtype=self.dtype)(h)
-            for blk in range(self.depths[stage]):
-                h = SwinBlock(dim, self.num_heads[stage], self.window_size,
-                              shift=0 if blk % 2 == 0 else
-                              self.window_size // 2, dtype=self.dtype)(h)
+            h = nn.Dense(dim, dtype=self.dtype)(h)  # concat_back_dim
+            d = (self.depths_decoder[n_stages - 1 - stage]
+                 if self.depths_decoder is not None else self.depths[stage])
+            h = blocks(h, dim, stage, d, det)
+        h = nn.LayerNorm(dtype=self.dtype)(h)  # self.norm_up (:717)
 
-        # final 4x expand + head (FinalPatchExpand_X4)
+        # final 4x expand + head (FinalPatchExpand_X4, up_x4 :776-786)
         b, hh, ww, c = h.shape
         h = nn.Dense(16 * c, use_bias=False, dtype=self.dtype)(h)
         h = h.reshape(b, hh, ww, 4, 4, c)

@@ -88,22 +88,33 @@ class ResNetV2Stem(nn.Module):
 
 
 class TransformerBlock(nn.Module):
+    """Pre-LN block with the reference's dropout placement
+    (vit_seg_modeling.py:85-130, vit_seg_configs.py:12-13): dropout_rate=0.1
+    after the attention output projection and after BOTH MLP denses;
+    attention_dropout_rate=0.0 on the attention probabilities."""
     hidden: int = 768
     mlp_dim: int = 3072
     num_heads: int = 12
+    dropout_rate: float = 0.1
+    attention_dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        det = not train
         h = nn.LayerNorm(dtype=self.dtype)(x)
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, qkv_features=self.hidden,
+            dropout_rate=self.attention_dropout_rate, deterministic=det,
             dtype=self.dtype)(h)
+        h = nn.Dropout(self.dropout_rate, deterministic=det)(h)  # proj_drop
         x = x + h
         h = nn.LayerNorm(dtype=self.dtype)(x)
         h = nn.Dense(self.mlp_dim, dtype=self.dtype)(h)
         h = nn.gelu(h)
+        h = nn.Dropout(self.dropout_rate, deterministic=det)(h)
         h = nn.Dense(self.hidden, dtype=self.dtype)(h)
+        h = nn.Dropout(self.dropout_rate, deterministic=det)(h)
         return x + h
 
 
@@ -136,7 +147,11 @@ class VisionTransformerSeg(nn.Module):
     in_chns: int = 1
     hidden: int = 768
     num_layers: int = 12
+    num_heads: int = 12
+    mlp_dim: int = 3072
     decoder_channels: Sequence[int] = (256, 128, 64, 16)
+    dropout_rate: float = 0.1            # vit_seg_configs.py:13
+    attention_dropout_rate: float = 0.0  # vit_seg_configs.py:12
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -151,10 +166,14 @@ class VisionTransformerSeg(nn.Module):
         pos = self.param("pos_embedding", nn.initializers.normal(0.02),
                          (1, gh * gw, self.hidden))
         tokens = tokens + pos
-        tokens = nn.Dropout(0.1, deterministic=not train)(tokens)
+        tokens = nn.Dropout(self.dropout_rate,
+                            deterministic=not train)(tokens)
         for _ in range(self.num_layers):
-            tokens = TransformerBlock(self.hidden, dtype=self.dtype)(
-                tokens, train)
+            tokens = TransformerBlock(
+                self.hidden, mlp_dim=self.mlp_dim,
+                num_heads=self.num_heads, dropout_rate=self.dropout_rate,
+                attention_dropout_rate=self.attention_dropout_rate,
+                dtype=self.dtype)(tokens, train)
         tokens = nn.LayerNorm(dtype=self.dtype)(tokens)
         latent = tokens.reshape(h.shape[0], gh, gw, self.hidden)
 

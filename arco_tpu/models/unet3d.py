@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -141,6 +142,91 @@ class GridAttentionBlock3D(nn.Module):
         w = nn.Conv(x.shape[-1], (1, 1, 1), dtype=self.dtype)(y)
         w = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype)(w)
+        return w, sigm
+
+
+class GridAttentionBlockTORR(nn.Module):
+    """TORR grid-attention variants (grid_attention_layer.py:183-357),
+    rank-generic (2D [B,H,W,C] or 3D [B,D,H,W,C] by input rank).
+
+    Differences from the default block: sub_sample defaults to 1, phi is a
+    strided conv over the gating map (not 1x1, :242-244), every projection
+    is individually toggleable (use_theta/phi/psi/W identity fallbacks,
+    :222-226), the optional BN after W (:229-236), and five attention
+    normalisations (:320-351): softmax / mean / mean_flow /
+    range_normalise / sigmoid over the flattened spatial axes. psi's bias
+    initialises to 3.0 (sigmoid) or 10.0 (softmax) as at :266-270."""
+    inter_channels: int
+    mode: str = "concatenation_sigmoid"
+    sub_sample: int = 1
+    use_w: bool = True
+    use_phi: bool = True
+    use_theta: bool = True
+    use_psi: bool = True
+    bn_layer: bool = True
+    nonlinearity1: str = "relu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, g, train: bool = True):
+        ndim = x.ndim - 2
+        ss = (self.sub_sample,) * ndim
+        ones = (1,) * ndim
+        b = x.shape[0]
+
+        theta_x = x
+        if self.use_theta:
+            theta_x = nn.Conv(self.inter_channels, ss, strides=ss,
+                              use_bias=False, dtype=self.dtype)(x)
+        phi_g = g
+        if self.use_phi:
+            phi_g = nn.Conv(self.inter_channels, ss, strides=ss,
+                            use_bias=False, dtype=self.dtype)(g)
+        if phi_g.shape[1:-1] != theta_x.shape[1:-1]:
+            phi_g = resize_bilinear(phi_g, theta_x.shape[1:-1],
+                                    align_corners=True)
+        f = theta_x + phi_g
+        if self.nonlinearity1 == "relu":
+            f = nn.relu(f)
+        psi_f = f
+        if self.use_psi:
+            bias_init = {"concatenation_sigmoid": 3.0,
+                         "concatenation_softmax": 10.0}.get(self.mode, 0.0)
+            psi_f = nn.Conv(
+                1, ones, dtype=self.dtype,
+                bias_init=nn.initializers.constant(bias_init))(f)
+
+        if self.mode in ("concatenation_sigmoid", "concatenation"):
+            # elementwise (:346-347) — also valid per-channel when psi is
+            # toggled off
+            sigm = jax.nn.sigmoid(psi_f.astype(jnp.float32)) \
+                .astype(x.dtype)
+        else:
+            flat = psi_f.reshape(b, -1).astype(jnp.float32)
+            if self.mode == "concatenation_softmax":
+                att = jax.nn.softmax(flat, axis=1)
+            elif self.mode == "concatenation_mean":
+                att = flat / jnp.sum(flat, axis=1, keepdims=True)
+            elif self.mode == "concatenation_mean_flow":
+                shifted = flat - jnp.min(flat, axis=1, keepdims=True)
+                att = shifted / jnp.sum(shifted, axis=1, keepdims=True)
+            elif self.mode == "concatenation_range_normalise":
+                lo = jnp.min(flat, axis=1, keepdims=True)
+                hi = jnp.max(flat, axis=1, keepdims=True)
+                att = (flat - lo) / (hi - lo)
+            else:
+                raise NotImplementedError(self.mode)
+            sigm = att.reshape(psi_f.shape).astype(x.dtype)
+        if sigm.shape[1:-1] != x.shape[1:-1]:
+            sigm = resize_bilinear(sigm, x.shape[1:-1], align_corners=True)
+
+        y = sigm * x
+        w = y
+        if self.use_w:
+            w = nn.Conv(x.shape[-1], ones, dtype=self.dtype)(y)
+            if self.bn_layer:
+                w = nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.9, dtype=self.dtype)(w)
         return w, sigm
 
 

@@ -33,6 +33,47 @@ class TestZoo2D:
         logits, latent, fmap = run_model(model, jnp.ones((1, 64, 64, 1)))
         assert logits.shape == (1, 64, 64, 3)
 
+    def test_nnunet_option_surface(self):
+        """Reference Generic_UNet options (nnunet.py:186-478): maxpool +
+        interpolation-upsample variant, deep supervision with
+        upscale_logits, dropout_in_localization."""
+        from arco_tpu.models.nnunet import GenericUNet
+        m = GenericUNet(
+            num_classes=3, max_features=64,
+            pool_kernels=tuple((2, 2) for _ in range(3)),
+            conv_kernels=tuple((3, 3) for _ in range(4)),
+            convolutional_pooling=False, convolutional_upsampling=False,
+            deep_supervision=True, upscale_logits=True,
+            dropout_p=0.5, dropout_in_localization=True)
+        x = jnp.ones((1, 32, 32, 1))
+        logits, latent, fmap = run_model(m, x)
+        # ds: tuple of (final, aux...) with every aux upscaled to full res
+        assert isinstance(logits, tuple) and len(logits) == 3
+        for s in logits:
+            assert s.shape == (1, 32, 32, 3)
+        # train mode must differ across dropout rngs (dropout active)
+        rngs = {"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1)}
+        variables = m.init(rngs, x, train=False)
+        t1 = m.apply(variables, x, train=True,
+                     rngs={"dropout": jax.random.PRNGKey(2)})[0][0]
+        t2 = m.apply(variables, x, train=True,
+                     rngs={"dropout": jax.random.PRNGKey(3)})[0][0]
+        assert not np.allclose(np.asarray(t1), np.asarray(t2))
+
+    def test_nnunet_strided_conv_default(self):
+        """initialize_network configures convolutional pooling/upsampling
+        (nnunet.py:525-527 positional True,True) — no maxpool in the graph;
+        output shape is preserved."""
+        from arco_tpu.models.nnunet import GenericUNet
+        m = GenericUNet(num_classes=2, max_features=64,
+                        pool_kernels=tuple((2, 2) for _ in range(3)),
+                        conv_kernels=tuple((3, 3) for _ in range(4)))
+        assert m.convolutional_pooling and m.convolutional_upsampling
+        logits, latent, fmap = run_model(m, jnp.ones((1, 32, 32, 1)))
+        assert logits.shape == (1, 32, 32, 2)
+        assert latent.shape == (1, 4, 4, 64)
+
 
 class TestZoo3D:
     def test_unet_3d(self):
@@ -49,6 +90,39 @@ class TestZoo3D:
         model = net_factory_3d("voxresnet", in_chns=1, class_num=2)
         logits, latent, fmap = run_model(model, jnp.ones((1, 16, 16, 16, 1)))
         assert logits.shape == (1, 16, 16, 16, 2)
+
+    def test_grid_attention_torr_modes(self):
+        """TORR grid-attention variants (grid_attention_layer.py:183-357):
+        every normalisation mode runs in 2D and 3D; softmax/mean attention
+        sums to 1 over the spatial axes."""
+        from arco_tpu.models.unet3d import GridAttentionBlockTORR
+        for shape_x, shape_g in (((2, 8, 8, 16), (2, 4, 4, 32)),
+                                 ((2, 8, 8, 8, 16), (2, 4, 4, 4, 32))):
+            x = jnp.asarray(np.random.RandomState(0)
+                            .rand(*shape_x).astype(np.float32))
+            g = jnp.asarray(np.random.RandomState(1)
+                            .rand(*shape_g).astype(np.float32))
+            for mode in ("concatenation_sigmoid", "concatenation_softmax",
+                         "concatenation_mean", "concatenation_mean_flow",
+                         "concatenation_range_normalise"):
+                blk = GridAttentionBlockTORR(inter_channels=8, mode=mode)
+                v = blk.init({"params": jax.random.PRNGKey(0)}, x, g,
+                             train=False)
+                (w, sigm), _ = blk.apply(v, x, g, train=False,
+                                         mutable=["batch_stats"])
+                assert w.shape == x.shape
+                if mode in ("concatenation_softmax", "concatenation_mean",
+                            "concatenation_mean_flow"):
+                    s = np.asarray(sigm).reshape(2, -1).sum(axis=1)
+                    np.testing.assert_allclose(s, 1.0, rtol=1e-4)
+        # identity toggles: no-projection config still runs
+        blk = GridAttentionBlockTORR(inter_channels=16, use_w=False,
+                                     use_phi=False, use_theta=False,
+                                     use_psi=False)
+        x = jnp.ones((1, 8, 8, 16))
+        v = blk.init({"params": jax.random.PRNGKey(0)}, x, x, train=False)
+        w, sigm = blk.apply(v, x, x, train=False)
+        assert w.shape == x.shape
 
     def test_nnunet_3d_anisotropic(self):
         model = net_factory_3d("nnUNet", in_chns=1, class_num=3)

@@ -39,6 +39,46 @@ class TestSwinUnet:
         assert logits.shape == (1, 64, 64, 4)
         assert latent.shape == (1, 2, 2, 96 * 8)
 
+    def test_swin_config_surface(self):
+        """Reference config knobs (swin...decoder_sys.py:618-633) are wired:
+        APE adds a position-embedding param, depths_decoder changes decoder
+        depth, qk_scale/patch_norm accepted."""
+        from arco_tpu.models.swin_unet import SwinUnet
+        x = jnp.ones((1, 32, 32, 1))
+        rngs = {"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1)}
+        m = SwinUnet(num_classes=4, in_chns=1, embed_dim=24,
+                     depths=(1, 1, 1, 1), num_heads=(2, 2, 2, 2),
+                     window_size=4, ape=True, patch_norm=False,
+                     qk_scale=0.2, depths_decoder=(1, 2, 2, 2))
+        variables = m.init(rngs, x, train=False)
+        assert "absolute_pos_embed" in variables["params"]
+        logits, _, _ = m.apply(variables, x, train=False,
+                               rngs={"dropout": jax.random.PRNGKey(1)})
+        assert logits.shape == (1, 32, 32, 4)
+
+    def test_swin_drop_path_train_eval_distinction(self):
+        """drop_path 0.1: eval is deterministic; train with different
+        dropout rngs produces different outputs (stochastic depth active)."""
+        from arco_tpu.models.swin_unet import SwinUnet
+        x = jnp.linspace(0, 1, 32 * 32).reshape(1, 32, 32, 1)
+        m = SwinUnet(num_classes=4, in_chns=1, embed_dim=24,
+                     depths=(1, 1, 1, 1), num_heads=(2, 2, 2, 2),
+                     window_size=4, drop_path_rate=0.5)
+        variables = m.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)}, x,
+                           train=False)
+        e1, _, _ = m.apply(variables, x, train=False,
+                           rngs={"dropout": jax.random.PRNGKey(2)})
+        e2, _, _ = m.apply(variables, x, train=False,
+                           rngs={"dropout": jax.random.PRNGKey(3)})
+        assert jnp.allclose(e1, e2)
+        t1, _, _ = m.apply(variables, x, train=True,
+                           rngs={"dropout": jax.random.PRNGKey(2)})
+        t2, _, _ = m.apply(variables, x, train=True,
+                           rngs={"dropout": jax.random.PRNGKey(3)})
+        assert not jnp.allclose(t1, t2)
+
 
 class TestDeepLab:
     def test_v2_and_v3(self):
