@@ -1,6 +1,9 @@
-# Developer entry points (1-core host: expect long pytest runs)
+# Developer entry points (1-core host: expect long pytest runs).
+# The conftest enables a persistent CPU compile cache, so a SECOND run of
+# any target is ~4x faster; test-ci is the certifiable serial split with
+# per-chunk timeouts (docs/BENCH_NOTES.md has measured times).
 
-.PHONY: test test-fast bench bench-quick dryrun profile bisect
+.PHONY: test test-fast test-ci bench bench-quick dryrun profile bisect
 
 test:
 	python -m pytest tests/ -q
@@ -8,6 +11,11 @@ test:
 test-fast:
 	python -m pytest tests/test_ops.py tests/test_config_cli.py \
 	    tests/test_pallas_infonce.py tests/test_genesis.py -q
+
+# Serial time-bounded chunks covering the whole non-slow suite; fails if
+# any chunk fails or times out. (test_cli_pipeline.py is @slow.)
+test-ci:
+	python scripts/test_ci.py
 
 bench:
 	python bench.py

@@ -15,6 +15,15 @@ import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Pin the CPU backend BEFORE any jax use: this walkthrough runs tiny
+# shapes, and the axon sitecustomize would otherwise force the tunneled
+# TPU backend (env JAX_PLATFORMS=cpu alone is not enough; see
+# tests/conftest.py).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 from arco_tpu.config import TrainConfig
 from arco_tpu.data.synthetic import make_acdc_like
 

@@ -76,7 +76,14 @@ class TestMesh:
         """The FULL ARCO step (pseudo-labels, mixing, contrastive memobank,
         revisiting, eqv, EMAs, queue updates) is numerically identical under
         data-parallel batch sharding — §2.9's claim that XLA-inserted
-        collectives replace the reference's DataParallel exactly."""
+        collectives replace the reference's DataParallel exactly.
+
+        50 steps with tiny bank capacities (memobank wraps every ~4 steps,
+        the K=8 random pool wraps every step) so enqueue ordering, ring
+        wraparound, and BN-stat accumulation under sharding are all
+        exercised well past the first fill (VERDICT r1 next #7; fixes the
+        reference's commented-out gather_together, loss_helper.py:146-147).
+        """
         from arco_tpu.config import ArcoConfig
         from arco_tpu.models import net_factory
         from arco_tpu.train.arco2d import (init_arco_state,
@@ -84,31 +91,43 @@ class TestMesh:
                                            make_arco_step)
         from arco_tpu.train.schedule import make_optimizer
 
-        b, hw, k = 8, 32, 3
+        b, hw, k, n_steps = 8, 32, 3, 50
         cfg = ArcoConfig(K=b, num_queries=16, num_negatives=8,
                          memobank_size=64, memobank_size_bg=64,
                          memobank_enqueue=16, topk=2)
         model = net_factory("unet", in_chns=1, class_num=k)
         modules = make_arco_modules(model, hw, hw, batch_size=b)
-        tx = make_optimizer(0.01, 10)
+        tx = make_optimizer(0.01, n_steps)
         rng = np.random.RandomState(0)
-        label = rng.randint(0, k, size=(b, hw, hw)).astype(np.int32)
-        image = label[..., None].astype(np.float32) / (k - 1)
+        batches = []
+        for _ in range(5):  # cycled variety so queue contents evolve
+            label = rng.randint(0, k, size=(b, hw, hw)).astype(np.int32)
+            image = (label[..., None].astype(np.float32) / (k - 1)
+                     + 0.05 * rng.randn(b, hw, hw, 1).astype(np.float32))
+            batches.append({"image_l": jnp.asarray(image),
+                            "label_l": jnp.asarray(label),
+                            "image_u": jnp.asarray(image)})
 
         def run(shard):
             state = init_arco_state(jax.random.PRNGKey(0), modules, cfg,
                                     (b, hw, hw, 1), tx)
             step = make_arco_step(modules, cfg, tx, num_classes=k,
-                                  max_iterations=10)
-            batch = {"image_l": jnp.asarray(image),
-                     "label_l": jnp.asarray(label),
-                     "image_u": jnp.asarray(image)}
+                                  max_iterations=n_steps)
             if shard:
                 state = jax.device_put(state, replicate_sharding(mesh))
-                batch = shard_batch(batch, mesh)
             m = None
-            for _ in range(2):
+            losses = []
+            for i in range(n_steps):
+                batch = batches[i % len(batches)]
+                if shard:
+                    batch = shard_batch(batch, mesh)
                 state, m = step(state, batch)
-            return float(m["loss"])
+                if (i + 1) % 10 == 0:
+                    losses.append(float(m["loss"]))
+            leaf = jax.tree_util.tree_leaves(state.params["model"])[0]
+            return losses, np.asarray(leaf)
 
-        np.testing.assert_allclose(run(True), run(False), rtol=1e-4)
+        losses_s, leaf_s = run(True)
+        losses_r, leaf_r = run(False)
+        np.testing.assert_allclose(losses_s, losses_r, rtol=1e-4)
+        np.testing.assert_allclose(leaf_s, leaf_r, rtol=1e-4, atol=1e-6)
