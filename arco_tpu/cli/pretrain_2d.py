@@ -31,7 +31,10 @@ from arco_tpu.utils.logging import MetricLogger
 
 def train(cfg: TrainConfig, snapshot_path: str):
     os.makedirs(snapshot_path, exist_ok=True)
+    # force=True: the axon plugin pre-configures root handlers,
+    # which would otherwise make this a silent no-op (no log.txt)
     logging.basicConfig(
+        force=True,
         filename=os.path.join(snapshot_path, "log.txt"), level=logging.INFO,
         format="[%(asctime)s.%(msecs)03d] %(message)s", datefmt="%H:%M:%S")
     logging.getLogger().addHandler(logging.StreamHandler(sys.stdout))
@@ -57,6 +60,28 @@ def train(cfg: TrainConfig, snapshot_path: str):
                                 cfg.isd, (bs, h, w, cfg.data.in_channels),
                                 cfg.optim.max_iterations)
     state = state._replace(opt_state=tx.init(state.params))
+
+    # local ImageNet-pretrained backbone for stage 1 (the reference loads
+    # pretrained weights at model construction, e.g. ViT_Seg load_from)
+    if cfg.pretrained_path:
+        from arco_tpu.compat.pretrained import load_pretrained
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            jnp.zeros((1, h, w, cfg.data.in_channels)), train=False)
+        mp, ms = load_pretrained(cfg.model, cfg.pretrained_path,
+                                 variables["params"],
+                                 variables.get("batch_stats"))
+        state = state._replace(
+            params={**state.params, "model": mp},
+            ema_params={**state.ema_params, "model": mp},
+            batch_stats={**state.batch_stats, "model": ms}
+            if ms else state.batch_stats,
+            ema_batch_stats={**state.ema_batch_stats, "model": ms}
+            if ms else state.ema_batch_stats,
+            opt_state=tx.init({**state.params, "model": mp}))
+        logging.info("loaded pretrained backbone from %s",
+                     cfg.pretrained_path)
     step_fn = make_pretrain_step(modules, cfg.isd, tx, labeled_bs,
                                  num_classes)
 

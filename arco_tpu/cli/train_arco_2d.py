@@ -58,7 +58,10 @@ def build_datasets(cfg: TrainConfig):
 
 def train(cfg: TrainConfig, snapshot_path: str):
     os.makedirs(snapshot_path, exist_ok=True)
+    # force=True: the axon plugin pre-configures root handlers,
+    # which would otherwise make this a silent no-op (no log.txt)
     logging.basicConfig(
+        force=True,
         filename=os.path.join(snapshot_path, "log.txt"), level=logging.INFO,
         format="[%(asctime)s.%(msecs)03d] %(message)s", datefmt="%H:%M:%S")
     logging.getLogger().addHandler(logging.StreamHandler(sys.stdout))

@@ -60,7 +60,10 @@ def main(argv=None):
                                  f"{args.exp}_{args.label_num}_labeled",
                                  "unet")
     os.makedirs(snapshot_path, exist_ok=True)
-    logging.basicConfig(filename=os.path.join(snapshot_path, "log.txt"),
+    # force=True: the axon plugin pre-configures root handlers,
+    # which would otherwise make this a silent no-op (no log.txt)
+    logging.basicConfig(force=True,
+        filename=os.path.join(snapshot_path, "log.txt"),
                         level=logging.INFO)
     logging.getLogger().addHandler(logging.StreamHandler(sys.stdout))
 

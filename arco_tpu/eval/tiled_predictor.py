@@ -123,3 +123,23 @@ def predict_tiled(predict_fn: Callable, image: np.ndarray, patch_size,
     sl = tuple(slice(p[0], p[0] + s) for p, s in zip(pads, image.shape))
     agg = agg[(slice(None),) + sl]
     return np.argmax(agg, axis=0), agg
+
+
+def predict_3d_via_2d(predict_fn: Callable, volume: np.ndarray,
+                      patch_size2d, num_classes: int,
+                      step_size: float = 0.5, use_gaussian: bool = True,
+                      mirror_axes=(0, 1), window_batch: int = 2):
+    """3D prediction with a 2D network: run the tiled 2D predictor on every
+    z-slice and stack (neural_network.py:190-270 predict_2D dispatching to
+    _internal_predict_3D_2Dconv_tiled :478-551 for 3D inputs).
+
+    volume: [Z, H, W]. Returns (label_map [Z, H, W],
+    class-first score_map [K, Z, H, W])."""
+    labels, scores = [], []
+    for z in range(volume.shape[0]):
+        lab, sc = predict_tiled(predict_fn, volume[z], patch_size2d,
+                                num_classes, step_size, use_gaussian,
+                                mirror_axes, window_batch)
+        labels.append(lab)
+        scores.append(sc)
+    return np.stack(labels), np.stack(scores, axis=1)

@@ -176,3 +176,21 @@ class TestTiledPredictor:
         pred, score = predict_tiled(predict, image, (12, 12, 8), 2,
                                     mirror_axes=(0, 1))
         np.testing.assert_array_equal(pred, label)
+
+    def test_predict_3d_via_2d_identity_oracle(self):
+        """predict_2D slice-wise path for 3D inputs
+        (neural_network.py:478-551)."""
+        from arco_tpu.eval.tiled_predictor import predict_3d_via_2d
+        rng = np.random.RandomState(0)
+        label = (rng.rand(4, 20, 20) > 0.5).astype(np.int32)
+        image = label.astype(np.float32)
+
+        def predict(x):
+            fg = (x[..., 0] > 0.5).astype(jnp.float32)
+            return jnp.stack([1 - fg, fg], axis=-1)
+
+        pred, score = predict_3d_via_2d(predict, image, (12, 12), 2,
+                                        mirror_axes=(0, 1))
+        assert pred.shape == (4, 20, 20)
+        assert score.shape == (2, 4, 20, 20)
+        np.testing.assert_array_equal(pred, label)
