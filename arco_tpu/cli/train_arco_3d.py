@@ -105,6 +105,10 @@ def train(cfg: TrainConfig, snapshot_path: str):
     if own_step:
         logging.info("resuming full train state from full_iter_%d", own_step)
         state = ckpt.restore_full_state(snapshot_path, own_step, state)
+    elif ckpt.latest_step(snapshot_path):
+        mstep = ckpt.latest_step(snapshot_path)
+        logging.info("degraded resume from model checkpoint iter_%d", mstep)
+        state = ckpt.restore_model_fallback(snapshot_path, mstep, state, tx)
 
     step_fn = make_arco_step(modules, cfg.arco, tx, num_classes,
                              cfg.optim.max_iterations)

@@ -29,44 +29,99 @@ def save_state(snapshot_dir: str, step: int, state: Any):
 
 
 def save_model_state(snapshot_dir: str, step: int, state: Any):
-    """Reference-parity lightweight checkpoint: model params + BN stats (+
-    the EMA copy, as pretrain saves iter_N_ema.pth) in the same iter_<N>
-    layout, restorable by `load_model_params` and the eval sweeps.
+    """Reference-parity lightweight checkpoint in the iter_<N> layout,
+    restorable by `load_model_params` and the eval sweeps: the full
+    weight-level state (student params incl. fusion heads, BN stats, EMA
+    copies, teacher feature extractor) but NOT the optimizer or the
+    GB-scale memory banks.
 
     The ARCO random pool alone is ~GB-scale, so writing the FULL state at
     the reference's every-1000-iteration cadence (train_arco_2d.py:462-470)
-    would cost tens of GB per run; per-iteration checkpoints carry only the
-    model (like the reference's .pth files) while `save_full_state` keeps a
-    rolling complete state for crash resume."""
-    tree = {"params": {"model": state.params["model"]},
-            "batch_stats": {"model": state.batch_stats["model"]},
-            "ema_params": {"model": state.ema_params["model"]},
-            "ema_batch_stats": {"model": state.ema_batch_stats["model"]}}
+    would cost tens of GB per run; these ~20 MB weight checkpoints mirror
+    the reference's .pth files while `save_full_state` keeps a rolling
+    resume state (optimizer/queues/PRNG)."""
+    tree = {"params": state.params,
+            "batch_stats": state.batch_stats,
+            "ema_params": state.ema_params,
+            "ema_batch_stats": state.ema_batch_stats}
+    if hasattr(state, "k_feature_params"):
+        tree["k_feature_params"] = state.k_feature_params
     ckpt = ocp.StandardCheckpointer()
     ckpt.save(_path(snapshot_dir, step), tree, force=True)
     ckpt.wait_until_finished()
+
+
+def restore_model_fallback(snapshot_dir: str, step: int, state: Any,
+                           tx=None) -> Any:
+    """Degraded resume from an iter_<N> weight checkpoint when no
+    full_iter resume state exists: weights/EMA/BN restored, step set, and
+    the optimizer re-initialized with its LR-schedule count fast-forwarded
+    to ``step`` (poly decay must continue, not restart). Optimizer
+    momentum, memory banks, and the PRNG stream start fresh — a small
+    transient (banks refill in ~200 steps)."""
+    import jax.numpy as jnp
+    ckpt = ocp.StandardCheckpointer()
+    restored = ckpt.restore(_path(snapshot_dir, step))  # raw tree
+    updates = {}
+    for key in ("params", "batch_stats", "ema_params", "ema_batch_stats",
+                "k_feature_params"):
+        if key in restored and hasattr(state, key):
+            cur = getattr(state, key)
+            if isinstance(cur, dict) and isinstance(restored[key], dict):
+                # shallow merge: older model-only checkpoints carry just the
+                # "model" subtree; fresh head params fill the rest
+                updates[key] = {**cur, **restored[key]}
+            else:
+                updates[key] = restored[key]
+    updates["step"] = jnp.asarray(step, jnp.int32)
+    if tx is not None:
+        from arco_tpu.train.schedule import fast_forward_opt_state
+        updates["opt_state"] = fast_forward_opt_state(
+            tx.init(updates.get("params", state.params)), step)
+    return state._replace(**updates)
 
 
 def _full_path(snapshot_dir: str, step: int) -> str:
     return os.path.join(os.path.abspath(snapshot_dir), f"full_iter_{step}")
 
 
-def save_full_state(snapshot_dir: str, step: int, state: Any, keep: int = 2):
-    """Rolling complete-state checkpoint (params, EMA, optimizer, queues,
-    memobank, pool, PRNG) under full_iter_<N>; prunes all but the newest
-    ``keep`` so long runs don't accumulate GB-scale state dumps."""
+# Device memory banks excluded from resume checkpoints by default: the
+# random pool alone is GB-scale and bulk D2H over the tunneled backend is
+# pathologically slow (an iter-5000 full save stalled >15 min with no
+# bytes landing), while both banks refill from live teacher keys within
+# ~200 steps of resume — a negligible transient next to losing the
+# optimizer/EMA/PRNG state. Pass exclude=() for a complete-state save.
+RESUME_EXCLUDE = ("memobank", "random_pool", "random_pool_ptr")
+
+
+def save_full_state(snapshot_dir: str, step: int, state: Any, keep: int = 2,
+                    exclude=RESUME_EXCLUDE):
+    """Rolling resume checkpoint (params, EMA, optimizer, queues, PRNG —
+    minus ``exclude``, see RESUME_EXCLUDE) under full_iter_<N>; prunes all
+    but the newest ``keep``."""
     import shutil
+    tree = state._asdict() if hasattr(state, "_asdict") else dict(state)
+    tree = {k: v for k, v in tree.items() if k not in exclude}
     ckpt = ocp.StandardCheckpointer()
-    ckpt.save(_full_path(snapshot_dir, step), state, force=True)
+    ckpt.save(_full_path(snapshot_dir, step), tree, force=True)
     ckpt.wait_until_finished()
     steps = sorted(_scan_steps(snapshot_dir, "full_iter_"))
     for old in steps[:-keep]:
         shutil.rmtree(_full_path(snapshot_dir, old), ignore_errors=True)
 
 
-def restore_full_state(snapshot_dir: str, step: int, target: Any) -> Any:
+def restore_full_state(snapshot_dir: str, step: int, target: Any,
+                       exclude=RESUME_EXCLUDE) -> Any:
+    """Inverse of save_full_state: restore the saved fields, keep the
+    target's freshly-initialized values for the excluded ones."""
+    tree = target._asdict() if hasattr(target, "_asdict") else dict(target)
+    saved = {k: v for k, v in tree.items() if k not in exclude}
+    kept = {k: v for k, v in tree.items() if k in exclude}
     ckpt = ocp.StandardCheckpointer()
-    return ckpt.restore(_full_path(snapshot_dir, step), target=target)
+    restored = ckpt.restore(_full_path(snapshot_dir, step), target=saved)
+    if hasattr(target, "_asdict"):
+        return type(target)(**{**restored, **kept})
+    return {**restored, **kept}
 
 
 def latest_full_step(snapshot_dir: str) -> Optional[int]:

@@ -27,3 +27,21 @@ def make_optimizer(base_lr: float, max_iterations: int,
         optax.sgd(learning_rate=poly_schedule(base_lr, max_iterations, power),
                   momentum=momentum, nesterov=nesterov),
     )
+
+
+def fast_forward_opt_state(opt_state, step: int):
+    """Set every schedule count in a fresh opt_state to ``step`` so the
+    poly LR continues from a resumed iteration instead of restarting at
+    base_lr (used by the degraded model-checkpoint resume)."""
+    import jax
+    import jax.numpy as jnp
+
+    def is_sched(s):
+        return isinstance(s, optax.ScaleByScheduleState)
+
+    def fix(s):
+        if is_sched(s):
+            return s._replace(count=jnp.asarray(step, s.count.dtype))
+        return s
+
+    return jax.tree_util.tree_map(fix, opt_state, is_leaf=is_sched)

@@ -79,7 +79,12 @@ class TestCheckpointRoundTrip:
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     def test_rolling_full_state_prunes_and_restores(self, tmp_path):
+        """full_iter resume checkpoints: rolling prune, and restore
+        recovers everything EXCEPT the excluded memory banks (GB-scale,
+        pathological bulk D2H over the tunnel; they refill on resume) —
+        those come back as the fresh target's values."""
         state, step, batch = _build()
+        state, _ = step(state, batch)  # step so banks differ from init
         snapshot = str(tmp_path / "snap4")
         for s in (1, 2, 3):
             ckpt.save_full_state(snapshot, s, state, keep=2)
@@ -92,6 +97,39 @@ class TestCheckpointRoundTrip:
         assert ckpt.latest_step(snapshot) is None
         fresh, _, _ = _build()
         restored = ckpt.restore_full_state(snapshot, 3, fresh)
-        for a, b in zip(jax.tree_util.tree_leaves(state),
-                        jax.tree_util.tree_leaves(restored)):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for field in state._fields:
+            a_tree = getattr(state if field not in ckpt.RESUME_EXCLUDE
+                             else fresh, field)
+            b_tree = getattr(restored, field)
+            for a, b in zip(jax.tree_util.tree_leaves(a_tree),
+                            jax.tree_util.tree_leaves(b_tree)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_degraded_resume_from_model_checkpoint(self, tmp_path):
+        """No full_iter state: restore_model_fallback pulls weights/EMA
+        from iter_<N>, sets step, and fast-forwards the LR-schedule count
+        so poly decay continues instead of restarting."""
+        import optax
+
+        from arco_tpu.train.schedule import make_optimizer
+        state, step, batch = _build()
+        state, _ = step(state, batch)
+        snapshot = str(tmp_path / "snap5")
+        ckpt.save_model_state(snapshot, 7, state)
+        fresh, _, _ = _build()
+        tx = make_optimizer(0.01, 100)
+        resumed = ckpt.restore_model_fallback(snapshot, 7, fresh, tx)
+        assert int(resumed.step) == 7
+        a = jax.tree_util.tree_leaves(state.params["model"])[0]
+        b = jax.tree_util.tree_leaves(resumed.params["model"])[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # heads restored too (weight-level checkpoint carries full params)
+        ah = jax.tree_util.tree_leaves(state.params["feature_extractor"])[0]
+        bh = jax.tree_util.tree_leaves(
+            resumed.params["feature_extractor"])[0]
+        np.testing.assert_array_equal(np.asarray(ah), np.asarray(bh))
+        # LR schedule count fast-forwarded
+        is_sched = lambda x: isinstance(x, optax.ScaleByScheduleState)
+        counts = [int(s.count) for s in jax.tree_util.tree_leaves(
+            resumed.opt_state, is_leaf=is_sched) if is_sched(s)]
+        assert counts and all(c == 7 for c in counts)
