@@ -37,7 +37,9 @@ CHUNKS = {
         "tests/test_inference_sharded.py", "tests/test_sliding_device.py",
         "tests/test_spatial_sharding.py"],
 }
-TIMEOUTS = {1: 600, 2: 900, 3: 1200}
+# Budgets assume an otherwise-idle host: a concurrent TPU training job's
+# dispatch thread roughly halves compile throughput on this 1-core box.
+TIMEOUTS = {1: 600, 2: 1500, 3: 1800}
 
 
 def run_chunk(n: int) -> dict:
