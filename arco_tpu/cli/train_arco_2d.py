@@ -177,12 +177,14 @@ def train(cfg: TrainConfig, snapshot_path: str):
             # with the checkpoint and no unbounded device-buffer list grows
             loss_history.extend(float(v) for v in jax.device_get(pending))
             pending.clear()
+            # history FIRST: the checkpoint saves below can stall/crash on
+            # a tunnel outage, and record.pkl must not lose the interval
+            logger.log_history_pickle(snapshot_path, loss_history)
             # reference-style model checkpoint per cadence + rolling full
             # state for crash resume (the pool/banks are GB-scale)
             ckpt.save_model_state(snapshot_path, it, state)
             if it % (cfg.full_ckpt_every or cfg.ckpt_every) == 0:
                 ckpt.save_full_state(snapshot_path, it, state)
-            logger.log_history_pickle(snapshot_path, loss_history)
             logging.info("saved checkpoint iter_%d", it)
         if it >= cfg.optim.max_iterations:
             break

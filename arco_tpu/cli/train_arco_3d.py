@@ -144,10 +144,10 @@ def train(cfg: TrainConfig, snapshot_path: str):
         if it % cfg.ckpt_every == 0:
             loss_history.extend(float(v) for v in jax.device_get(pending))
             pending.clear()
+            logger.log_history_pickle(snapshot_path, loss_history)
             ckpt.save_model_state(snapshot_path, it, state)
             if it % (cfg.full_ckpt_every or cfg.ckpt_every) == 0:
                 ckpt.save_full_state(snapshot_path, it, state)
-            logger.log_history_pickle(snapshot_path, loss_history)
         if it >= cfg.optim.max_iterations:
             break
     pipeline.close()
