@@ -42,6 +42,8 @@ class TestArco3D:
         batch = {"image_l": image, "label_l": label, "image_u": image}
         state, metrics = step(state, batch)
         for k, v in metrics.items():
+            if getattr(v, "ndim", 0):  # pred_l_label image map
+                continue
             assert np.isfinite(float(v)), (k, float(v))
         # eqv computed but excluded (train_arco_3d.py:390-391)
         total_wo_eqv = (cfg.k1 * metrics["reco_loss"]
@@ -72,5 +74,7 @@ class TestPretrain3D:
                  "label": label}
         state, metrics = step(state, batch)
         for k, v in metrics.items():
+            if getattr(v, "ndim", 0):  # pred_l_label image map
+                continue
             assert np.isfinite(float(v)), k
         assert int(state.queue_ptr) == B
