@@ -26,7 +26,38 @@ from arco_tpu.models.layers import adaptive_avg_pool
 from arco_tpu.ops.interpolate import resize_bilinear
 
 
+class _Kernel(nn.Module):
+    """Bare 1x1-conv kernel with nn.Conv's exact param layout/init, so the
+    parameter tree stays {fea_i: {kernel: [1..1, in, out]}} (checkpoint-
+    compatible) while the compute graph is free to use the weights
+    algebraically."""
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape)
+
+
 class FeatureExtractor(nn.Module):
+    """Pyramid fuser, algebraically restructured for TPU memory.
+
+    The reference cascade (model_2D.py:20-56) is
+        x0 = (W0+I) m0
+        x_i = (W_i+I) [up(x_{i-1}); m_i]   (i = 1..3)
+        y   = W4 [up(x_3); m_4]
+    — every op is channel-linear (1x1 convs, residual adds, bi/trilinear
+    resizes), and channel mixing commutes with per-channel spatial
+    interpolation. Composing the kernel matrices at trace time therefore
+    gives the EXACT same function as
+        y = up4(up3(up2(up1(m0 B0) + m1 B1) + m2 B2) + m3 B3) + m4 B4
+    with small [c_i, out] matrices B_i — but the intermediates carry only
+    ``output_dim`` channels instead of the growing 192..256-channel
+    concats. At the 3D ARCO shapes ([4,112,112,80] fused batch) the naive
+    cascade materializes five ~1.9 GB full-volume temps (the round-2 HBM
+    OOM); this form carries 16-channel tensors (~120 MB) through the same
+    resize sequence. Same parameter tree as the cascade (fea0..fea4
+    nn.Conv kernels)."""
     fea_dim: Sequence[int] = (256, 128, 64, 32, 16)
     output_dim: int = 256
     dtype: jnp.dtype = jnp.float32
@@ -34,19 +65,40 @@ class FeatureExtractor(nn.Module):
     @nn.compact
     def __call__(self, fea_list):
         assert len(fea_list) == len(self.fea_dim) == 5
-        x = fea_list[0]
-        x = nn.Conv(x.shape[-1], (1,) * (x.ndim - 2), use_bias=False,
-                    dtype=self.dtype, name="fea0")(x) + x
-        for i, nxt in enumerate(fea_list[1:], start=1):
-            x = resize_bilinear(x, nxt.shape[1:-1], align_corners=True)
-            x = jnp.concatenate([x, nxt], axis=-1)
-            if i < 4:
-                x = nn.Conv(x.shape[-1], (1,) * (x.ndim - 2), use_bias=False,
-                            dtype=self.dtype, name=f"fea{i}")(x) + x
-            else:
-                x = nn.Conv(self.output_dim, (1,) * (x.ndim - 2),
-                            use_bias=False, dtype=self.dtype, name="fea4")(x)
-        return x
+        nd = fea_list[0].ndim - 2
+        c = [int(d) for d in self.fea_dim]
+        d = [sum(c[:i + 1]) for i in range(5)]  # concat widths d0..d4
+
+        ones = (1,) * nd
+        k = [
+            _Kernel(ones + (c[0], c[0]), name="fea0")(),
+            _Kernel(ones + (d[1], d[1]), name="fea1")(),
+            _Kernel(ones + (d[2], d[2]), name="fea2")(),
+            _Kernel(ones + (d[3], d[3]), name="fea3")(),
+            _Kernel(ones + (d[4], self.output_dim), name="fea4")(),
+        ]
+        K = [ki.reshape(ki.shape[-2], ki.shape[-1]).astype(jnp.float32)
+             for ki in k]
+        eye = lambda n: jnp.eye(n, dtype=jnp.float32)
+
+        # back-substitute: B[i] maps level-i input channels -> output_dim
+        B4 = K[4][d[3]:]                      # m4 rows of fea4
+        A = K[4][:d[3]]                       # x3 -> out
+        B = [None] * 5
+        B[4] = B4
+        for i in (3, 2, 1):
+            M = (K[i] + eye(d[i])) @ A        # t_i -> out
+            A, B[i] = M[:d[i - 1]], M[d[i - 1]:]
+        B[0] = (K[0] + eye(c[0])) @ A
+
+        dot = lambda m, w: jnp.einsum(
+            "...c,co->...o", m, w.astype(self.dtype))
+        z = dot(fea_list[0], B[0])
+        for i in range(1, 5):
+            z = resize_bilinear(z, fea_list[i].shape[1:-1],
+                                align_corners=True)
+            z = z + dot(fea_list[i], B[i])
+        return z
 
 
 class ProjectionHead(nn.Module):

@@ -373,8 +373,16 @@ def arco_loss_fn(params, state: ArcoState, modules: ArcoModules, cfg, batch,
         images_tps = warped[..., :c_img]
         mask_tps = warped[..., c_img:c_img + 1]
         pred_tps_org = warped[..., c_img + 1:]
+        # when the eqv term is excluded from the total (the 3D reference
+        # computes it for logging only, train_arco_3d.py:390-391) its
+        # forward contributes nothing to the gradients — stop_grad frees
+        # the backward activations of this 6th full-volume forward, which
+        # is the difference between fitting in 16 GB HBM and OOM at the
+        # [112,112,80] V-Net patch
         pred_tps, _, bs = _apply_model(modules.model, params["model"], bs,
-                                       images_tps, k_tps, remat=cfg.remat)
+                                       images_tps, k_tps,
+                                       stop_grad=not cfg.use_eqv_loss,
+                                       remat=cfg.remat)
         loss_eqv = equivariance_loss(pred_tps, pred_tps_org, mask_tps)
     else:
         loss_eqv = jnp.array(0.0, jnp.float32)

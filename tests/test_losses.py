@@ -181,6 +181,41 @@ class TestContrastive:
             current_class_threshold=0.0)
         assert float(loss) == 0.0
 
+    def test_two_class_default_ranks_reco_zero(self):
+        """With num_classes=2 and the reference's hardcoded low_rank=3 /
+        high_rank=20 (loss_helper_3d.py:319), the negative mask is provably
+        empty: unlabeled pixels need class rank in [3, 20) (impossible with 2
+        classes, prob_indices[..., 3:20] is an empty slice), and labeled
+        pixels need onehot_i > 0 AND label_l[..., i] == 0 simultaneously
+        (contradiction). The reference's memobank therefore never fills on
+        LA (2-class) and its reco_loss is identically 0 (the empty-bank
+        branch adds 0 * rep.sum(), loss_helper_3d.py:437-461). This test
+        pins our implementation to that exact behavior — the 3D trainer's
+        `reco: 0.000000` log line is parity, not a bug."""
+        rng = np.random.RandomState(7)
+        b, hw, k, c = 4, 16, 2, 32
+        rep = rng.randn(b, hw, hw, c).astype(np.float32)
+        rep_t = rng.randn(b, hw, hw, c).astype(np.float32)
+        labels = rng.randint(0, k, size=(b, hw, hw))
+        onehot = np.eye(k, dtype=np.float32)[labels]
+        prob = rng.rand(b, hw, hw, k).astype(np.float32)
+        prob /= prob.sum(-1, keepdims=True)
+        is_lab = np.array([True, True, False, False])
+        label_l = onehot * is_lab[:, None, None, None]
+        low = np.ones((b, hw, hw), np.float32)
+        high = np.ones((b, hw, hw), np.float32)
+        bank = contrastive.create_memobank(k, c, capacity=512,
+                                           capacity_bg=1024)
+        rank = contrastive.descending_rank(jnp.array(prob))
+        new_bank, loss = contrastive.compute_contra_memobank_loss(
+            jax.random.PRNGKey(0), jnp.array(rep), jnp.array(onehot),
+            jnp.array(prob), rank, jnp.array(is_lab), jnp.array(label_l),
+            jnp.array(low), jnp.array(high), jnp.array(rep_t), bank,
+            num_queries=32, num_negatives=16, enqueue_per_class=64,
+            low_rank=3, high_rank=20, current_class_threshold=0.3)
+        assert float(loss) == 0.0
+        assert int(new_bank.count.max()) == 0
+
     def test_descending_rank_matches_torch_sort(self, rng):
         prob = rng.rand(2, 4, 4, 6).astype(np.float32)
         ours = np.asarray(contrastive.descending_rank(jnp.array(prob)))

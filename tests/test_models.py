@@ -95,6 +95,37 @@ class TestHeads:
         out = fe.apply(v, fmaps)
         assert out.shape == (1, 64, 64, 32, 16)
 
+    def test_feature_extractor_matches_reference_cascade(self):
+        """The composed-matrix FeatureExtractor must equal the reference's
+        explicit cascade (conv+residual, upsample, concat; model_2D.py:20-56)
+        computed from the SAME parameters — the restructure is exact linear
+        algebra, not an approximation."""
+        from arco_tpu.ops.interpolate import resize_bilinear
+        rng = np.random.RandomState(0)
+        fea_dim = (32, 16, 8, 4, 4)
+        fmaps = [jnp.asarray(rng.randn(2, 4 * 2 ** i, 4 * 2 ** i, c)
+                             .astype(np.float32))
+                 for i, c in enumerate(fea_dim)]
+        fe = FeatureExtractor(fea_dim=fea_dim, output_dim=12)
+        v = fe.init(jax.random.PRNGKey(3), fmaps)
+        out = fe.apply(v, fmaps)
+
+        def conv(name, x):
+            kern = v["params"][name]["kernel"]
+            return jnp.einsum("...c,co->...o",
+                              x, kern.reshape(kern.shape[-2:]))
+
+        x = conv("fea0", fmaps[0]) + fmaps[0]
+        for i in range(1, 5):
+            x = resize_bilinear(x, fmaps[i].shape[1:-1], align_corners=True)
+            x = jnp.concatenate([x, fmaps[i]], axis=-1)
+            if i < 4:
+                x = conv(f"fea{i}", x) + x
+            else:
+                x = conv("fea4", x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x),
+                                   rtol=2e-4, atol=2e-4)
+
     def test_projection_and_predictors(self):
         x = jnp.ones((3, 64, 64, 4))
         ph = ProjectionHead(proj_dim=4, output_pooling_size=8)
