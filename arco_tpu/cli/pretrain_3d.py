@@ -28,7 +28,7 @@ from arco_tpu.train import checkpoint as ckpt
 from arco_tpu.train.pretrain import (init_pretrain_state, make_isd_modules,
                                      make_pretrain_step)
 from arco_tpu.train.schedule import make_optimizer
-from arco_tpu.utils.logging import MetricLogger
+from arco_tpu.utils.logging import MetricLogger, log_provenance
 
 
 def default_3d_config() -> TrainConfig:
@@ -51,6 +51,7 @@ def train(cfg: TrainConfig, snapshot_path: str):
         filename=os.path.join(snapshot_path, "log.txt"), level=logging.INFO,
         format="[%(asctime)s.%(msecs)03d] %(message)s", datefmt="%H:%M:%S")
     logging.getLogger().addHandler(logging.StreamHandler(sys.stdout))
+    log_provenance()
 
     num_classes = cfg.data.num_classes
     patch = tuple(cfg.data.patch_size)

@@ -31,7 +31,7 @@ from arco_tpu.train import checkpoint as ckpt
 from arco_tpu.train.arco2d import (init_arco_state, make_arco_modules,
                                    make_arco_step)
 from arco_tpu.train.schedule import make_optimizer
-from arco_tpu.utils.logging import MetricLogger
+from arco_tpu.utils.logging import MetricLogger, log_provenance
 
 
 def build_datasets(cfg: TrainConfig):
@@ -65,6 +65,7 @@ def train(cfg: TrainConfig, snapshot_path: str):
         filename=os.path.join(snapshot_path, "log.txt"), level=logging.INFO,
         format="[%(asctime)s.%(msecs)03d] %(message)s", datefmt="%H:%M:%S")
     logging.getLogger().addHandler(logging.StreamHandler(sys.stdout))
+    log_provenance()
     logging.info(str(cfg))
 
     num_classes = cfg.data.num_classes

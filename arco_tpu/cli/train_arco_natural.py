@@ -34,7 +34,7 @@ from arco_tpu.train import checkpoint as ckpt
 from arco_tpu.train.arco2d import (init_arco_state, make_arco_modules,
                                    make_arco_step)
 from arco_tpu.train.schedule import make_optimizer
-from arco_tpu.utils.logging import MetricLogger
+from arco_tpu.utils.logging import MetricLogger, log_provenance
 
 
 def main(argv=None):
@@ -66,6 +66,7 @@ def main(argv=None):
         filename=os.path.join(snapshot_path, "log.txt"),
                         level=logging.INFO)
     logging.getLogger().addHandler(logging.StreamHandler(sys.stdout))
+    log_provenance()
 
     base = NaturalImageDataset(args.root_path, args.dataset, "train")
     labeled_idx, unlabeled_idx = class_balanced_idx(

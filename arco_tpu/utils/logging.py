@@ -12,6 +12,33 @@ import json
 import os
 from typing import Dict
 
+def log_provenance(logger=None) -> str:
+    """Log the framework's git commit as experiment provenance.
+
+    The reference snapshots the entire code tree into the experiment dir
+    (shutil.copytree, train_arco_2d.py:514-517); with the framework under
+    git the equivalent identity is the commit hash (+dirty marker), logged
+    into log.txt so every run records exactly what code produced it.
+    """
+    import logging as _logging
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    try:
+        rev = subprocess.run(["git", "rev-parse", "HEAD"], cwd=root,
+                             capture_output=True, text=True,
+                             timeout=10).stdout.strip()
+        dirty = subprocess.run(["git", "status", "--porcelain"], cwd=root,
+                               capture_output=True, text=True,
+                               timeout=10).stdout.strip()
+        ident = (rev + ("-dirty" if dirty else "")) if rev else "unknown"
+    except Exception:
+        ident = "unknown"
+    (logger or _logging).info("code provenance: arco_tpu @ %s", ident)
+    return ident
+
+
 _TB_NAME_MAP = {
     "loss": "info/total_loss",
     "reco_loss": "info/reco_loss",

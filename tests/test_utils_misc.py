@@ -100,3 +100,16 @@ class TestProfiling:
         t = measure_fp_time(lambda x: (x * 2).sum(), jnp.ones((64, 64)),
                             n=3, warmup=1)
         assert t > 0
+
+
+class TestProvenance:
+    def test_log_provenance_returns_identity(self, caplog):
+        """Provenance substitutes the reference's code self-copy
+        (train_arco_2d.py:514-517): a git hash (possibly -dirty) or an
+        explicit 'unknown', logged and returned."""
+        import logging
+        from arco_tpu.utils.logging import log_provenance
+        with caplog.at_level(logging.INFO):
+            ident = log_provenance()
+        assert ident == "unknown" or len(ident.split("-")[0]) == 40
+        assert any("code provenance" in r.message for r in caplog.records)
