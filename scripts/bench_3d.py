@@ -28,17 +28,22 @@ from arco_tpu.train.schedule import make_optimizer
 PATCH, B, K = (112, 112, 80), 2, 2
 
 
-def main():
+def main(argv=()):
     on_cpu = jax.devices()[0].platform == "cpu"
     patch, b = ((32, 32, 16), 2) if on_cpu else (PATCH, B)
     dtype = jnp.float32 if on_cpu else jnp.bfloat16
 
     # 3D trainer settings (cli/train_arco_3d.py): eqv excluded from the
-    # total, photometric/morph off (augment_3d passthrough), fused dim 16
+    # total, photometric/morph off (augment_3d passthrough), fused dim 16.
+    # --no-remat: measure without rematerialized student forwards (viable
+    # only if the step still fits HBM); --trainer-parity: the exact trainer
+    # config (eqv computed for logging with a stop-grad forward, cutmix).
     import dataclasses
     cfg = ArcoConfig(compute_eqv=False, use_eqv_loss=False,
                      use_photometric=False, use_adv_morph=False,
-                     apply_aug="cutout", remat=True)
+                     apply_aug="cutout", remat="--no-remat" not in argv)
+    if "--trainer-parity" in argv:
+        cfg = dataclasses.replace(cfg, compute_eqv=True, apply_aug="cutmix")
     if cfg.K % b:
         cfg = dataclasses.replace(cfg, K=(cfg.K // b) * b or b)
     model = net_factory_3d("vnet", in_chns=1, class_num=K, dtype=dtype)
@@ -71,8 +76,10 @@ def main():
     print(json.dumps({
         "metric": f"ARCO-3D train step throughput ({patch}, bs {b}+{b})",
         "value": round(vols, 3), "unit": "volumes/sec/chip",
-        "ms_per_step": round(dt / steps * 1000, 1)}))
+        "ms_per_step": round(dt / steps * 1000, 1),
+        "remat": cfg.remat, "eqv_forward": cfg.compute_eqv}))
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    main(sys.argv[1:])
