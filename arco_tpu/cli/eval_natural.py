@@ -33,10 +33,14 @@ def main(argv=None):
     p.add_argument("--snapshot_dir", type=str, default="../model")
     p.add_argument("--exp", type=str, default="natural/arco")
     p.add_argument("--iteration", type=int, default=None)
+    p.add_argument("--crop_size", type=int, default=None,
+                   help="override the dataset's default crop (smoke/CI hook)")
+    p.add_argument("--num_classes", type=int, default=None,
+                   help="override the dataset's class count (smoke/CI hook)")
     args = p.parse_args(argv)
 
     defaults = NaturalImageDataset.DEFAULTS[args.dataset]
-    num_classes = defaults["num_classes"]
+    num_classes = args.num_classes or defaults["num_classes"]
 
     snapshot = os.path.join(args.snapshot_dir,
                             f"{args.exp}_{args.label_num}_labeled",
@@ -57,7 +61,9 @@ def main(argv=None):
                                    rngs={"dropout": jax.random.PRNGKey(0)})
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    ds = NaturalImageDataset(args.root_path, args.dataset, "val")
+    crop = ((args.crop_size, args.crop_size) if args.crop_size else None)
+    ds = NaturalImageDataset(args.root_path, args.dataset, "val",
+                             crop_size=crop)
     inter = np.zeros(num_classes, np.int64)
     union = np.zeros(num_classes, np.int64)
     rng = np.random.RandomState(0)

@@ -50,11 +50,20 @@ def main(argv=None):
     p.add_argument("--snapshot_dir", type=str, default="../model")
     p.add_argument("--exp", type=str, default="natural/arco")
     p.add_argument("--apply_aug", type=str, default="cutmix")
+    p.add_argument("--crop_size", type=int, default=None,
+                   help="override the dataset's default crop (smoke/CI hook)")
+    p.add_argument("--num_classes", type=int, default=None,
+                   help="override the dataset's class count (smoke/CI hook)")
+    p.add_argument("--ckpt_every", type=int, default=1000)
+    p.add_argument("--log_every", type=int, default=20)
+    p.add_argument("--set", action="append", default=[], metavar="K=V",
+                   help="ArcoConfig field override, e.g. --set memobank_size=64")
     args = p.parse_args(argv)
 
     defaults = NaturalImageDataset.DEFAULTS[args.dataset]
-    num_classes = defaults["num_classes"]
-    crop = defaults["crop_size"]
+    num_classes = args.num_classes or defaults["num_classes"]
+    crop = ((args.crop_size, args.crop_size) if args.crop_size
+            else defaults["crop_size"])
 
     snapshot_path = os.path.join(args.snapshot_dir,
                                  f"{args.exp}_{args.label_num}_labeled",
@@ -68,18 +77,27 @@ def main(argv=None):
     logging.getLogger().addHandler(logging.StreamHandler(sys.stdout))
     log_provenance()
 
-    base = NaturalImageDataset(args.root_path, args.dataset, "train")
+    base = NaturalImageDataset(args.root_path, args.dataset, "train",
+                               crop_size=crop)
     labeled_idx, unlabeled_idx = class_balanced_idx(
         lambda i: base.load(i)[1], range(len(base)), num_classes,
         args.label_num, seed=args.seed)
     ds_l = NaturalImageDataset(args.root_path, args.dataset, "train",
                                idx_list=[base.idx_list[i]
-                                         for i in labeled_idx])
+                                         for i in labeled_idx],
+                               crop_size=crop)
     ds_u = NaturalImageDataset(args.root_path, args.dataset, "train",
                                idx_list=[base.idx_list[i]
-                                         for i in unlabeled_idx])
+                                         for i in unlabeled_idx],
+                               crop_size=crop)
 
-    cfg = ArcoConfig(apply_aug=args.apply_aug)
+    overrides = {}
+    for kv in args.set:
+        k, v = kv.split("=", 1)
+        cur = getattr(ArcoConfig(), k)
+        overrides[k] = (v.lower() in ("1", "true", "yes")
+                        if isinstance(cur, bool) else type(cur)(v))
+    cfg = ArcoConfig(apply_aug=args.apply_aug, **overrides)
     model = net_factory("unet", in_chns=3, class_num=num_classes,
                         dtype=jnp.bfloat16)
     modules = make_arco_modules(model, crop[1], crop[0],
@@ -102,21 +120,21 @@ def main(argv=None):
                "image_u": jnp.asarray(batch["image_u"])}
         state, metrics = step_fn(state, dev)
         metrics.pop("pred_l_label", None)
-        if it % 20 == 0:
+        if it % args.log_every == 0:
             m = {k: float(v) for k, v in metrics.items()}
-            ips = 20 * args.batch_size * 2 / (time.time() - t0)
+            ips = args.log_every * args.batch_size * 2 / (time.time() - t0)
             t0 = time.time()
             logger.log(it, {**m, "images_per_sec": ips})
             logging.info("iter %d loss %.4f (%.1f img/s)", it, m["loss"],
                          ips)
-        if it % 1000 == 0:
+        if it % args.ckpt_every == 0:
             ckpt.save_model_state(snapshot_path, it, state)
             ckpt.save_full_state(snapshot_path, it, state)
         if it >= args.max_iterations:
             break
     pipeline.close()
     final_it = int(state.step)
-    if final_it % 1000:
+    if final_it % args.ckpt_every:
         ckpt.save_model_state(snapshot_path, final_it, state)
     ckpt.save_full_state(snapshot_path, final_it, state)
 
