@@ -11,7 +11,7 @@
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 LOG="$REPO/runs/full3d/model/LA/r2full_8_labeledfinal/vnet/log.txt"
 OUT=/tmp/full3d.log
-STALE=600   # seconds without output growth = stalled
+STALE=1200  # seconds without output growth = stalled (covers a cold remote compile)
 
 newest_mtime() {
   local t=0 f
