@@ -48,9 +48,13 @@ def default_3d_config() -> TrainConfig:
     cfg.arco.compute_eqv = True
     cfg.arco.use_photometric = False
     cfg.arco.use_adv_morph = False
-    # five V-Net forwards at [112,112,80] are activation-memory bound;
-    # recompute in backward (loss-equivalent, tests/test_remat.py)
-    cfg.arco.remat = True
+    # Round-1 needed remat (jax.checkpoint on the student forwards) to fit
+    # the five V-Net forwards at [112,112,80] in 16 GB HBM; after the
+    # composed-kernel FeatureExtractor and the stop-grad eqv forward the
+    # step fits WITHOUT remat and runs 825 -> 767 ms/step measured on chip
+    # (433 ms with the eqv forward off). Re-enable with --arco.remat true
+    # if a bigger batch/patch OOMs. Loss-equivalence: tests/test_remat.py.
+    cfg.arco.remat = False
     return cfg
 
 
@@ -113,6 +117,19 @@ def train(cfg: TrainConfig, snapshot_path: str):
 
     step_fn = make_arco_step(modules, cfg.arco, tx, num_classes,
                              cfg.optim.max_iterations)
+    # --arco.eqv_on_log_only: the eqv term is logging-only on this path
+    # (use_eqv_loss=False, train_arco_3d.py:390-391), so off-logging
+    # iterations can run a second compiled step without the eqv leg
+    # (slice-wise TPS gather + 6th forward, ~43% of the step). Both
+    # programs share the state pytree; loss_eqv is a real value exactly on
+    # the iterations that log it.
+    step_fn_noeqv = None
+    if (cfg.arco.eqv_on_log_only and cfg.arco.compute_eqv
+            and not cfg.arco.use_eqv_loss):
+        import dataclasses
+        step_fn_noeqv = make_arco_step(
+            modules, dataclasses.replace(cfg.arco, compute_eqv=False), tx,
+            num_classes, cfg.optim.max_iterations)
 
     ds_l = LAHeartDataset(cfg.data.root_path, "train",
                           index=cfg.data.labeled_num, label_type=1,
@@ -131,7 +148,9 @@ def train(cfg: TrainConfig, snapshot_path: str):
         dev_batch = {"image_l": jnp.asarray(batch["image_l"]),
                      "label_l": jnp.asarray(batch["label_l"]),
                      "image_u": jnp.asarray(batch["image_u"])}
-        state, metrics = step_fn(state, dev_batch)
+        fn = (step_fn if step_fn_noeqv is None or it % cfg.log_every == 0
+              else step_fn_noeqv)
+        state, metrics = fn(state, dev_batch)
         metrics.pop("pred_l_label")
         pending.append(metrics["loss"])
         if it % cfg.log_every == 0:

@@ -117,6 +117,15 @@ class ArcoConfig:
     # whether to run the TPS-equivariance forward at all (the 3D reference
     # computes it only for logging; skipping saves one forward)
     compute_eqv: bool = True
+    # compute the logging-only eqv term only on logging iterations instead
+    # of every step. Applies only when compute_eqv is on and use_eqv_loss is
+    # off (the 3D path): measured 767 -> ~435 ms/step on chip, because the
+    # eqv leg (slice-wise 3D TPS gather + 6th V-Net forward) costs ~43% of
+    # the step to produce a scalar the total loss never sees. Off by
+    # default: the reference computes it every iteration, and its 6th
+    # forward also nudges BN running stats — skipping it between logging
+    # points is a (tiny, documented) BN-trajectory deviation.
+    eqv_on_log_only: bool = False
     # 2D strong augmentation (color jitter + blur + AdvMorph); the 3D
     # reference's batch_transform is a passthrough (augment_3d.py:209-226)
     use_photometric: bool = True

@@ -78,3 +78,42 @@ class TestPretrain3D:
                 continue
             assert np.isfinite(float(v)), k
         assert int(state.queue_ptr) == B
+
+
+class TestEqvOnLogOnly:
+    def test_two_variant_dispatch_shares_state(self, rng):
+        """--arco.eqv_on_log_only builds a second compiled step without the
+        logging-only eqv leg; both programs must accept the same state
+        pytree and advance it interchangeably (the perf knob behind the
+        767 -> ~435 ms/step on-chip win, cli/train_arco_3d.py)."""
+        import dataclasses
+
+        cfg = ArcoConfig(K=B, num_queries=16, num_negatives=8,
+                         memobank_size=128, memobank_size_bg=128,
+                         memobank_enqueue=32, topk=2,
+                         use_eqv_loss=False, compute_eqv=True,
+                         use_photometric=False, use_adv_morph=False)
+        model = net_factory_3d("vnet", in_chns=1, class_num=K)
+        modules = make_arco_modules(model, S[1], S[0], batch_size=B,
+                                    feature_channels=(128, 64, 32, 16, 16),
+                                    fused_dim=16)
+        tx = make_optimizer(0.01, 100)
+        state = init_arco_state(jax.random.PRNGKey(0), modules, cfg,
+                                (B,) + S + (1,), tx)
+        step_eqv = make_arco_step(modules, cfg, tx, num_classes=K,
+                                  max_iterations=100)
+        step_noeqv = make_arco_step(
+            modules, dataclasses.replace(cfg, compute_eqv=False), tx,
+            num_classes=K, max_iterations=100)
+
+        image, label = batch3d(rng)
+        batch = {"image_l": image, "label_l": label, "image_u": image}
+        # alternate like the trainer: noeqv between logging points,
+        # eqv on them
+        for i, fn in enumerate([step_noeqv, step_noeqv, step_eqv]):
+            state, m = fn(state, batch)
+            assert np.isfinite(float(m["loss"]))
+            if fn is step_noeqv:
+                assert float(m["loss_eqv"]) == 0.0
+        assert float(m["loss_eqv"]) != 0.0  # the eqv step logged a real one
+        assert int(state.step) == 3
