@@ -29,9 +29,17 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-DEFAULT_POOL_KERNELS = ((1, 2, 2), (1, 2, 2), (2, 2, 2), (2, 2, 2),
-                        (1, 2, 2), (1, 2, 2))
-DEFAULT_CONV_KERNELS = ((1, 3, 3), (1, 3, 3), (3, 3, 3), (3, 3, 3),
+# The reference's default_dict kernels (nnunet.py:489-490) are in torch's
+# [B, C, D, H, W] axis order: pools [1,2,2]x2, [2,2,2]x2, [1,2,2]x2 — the
+# anisotropic '1' protects the thin DEPTH axis. This framework's 3D layout
+# is depth-LAST ([B, H, W, D, C], like the LA patch (112,112,80)), so the
+# kernels are transposed (d,h,w) -> (h,w,d) to keep the anisotropy on the
+# anatomical depth axis. Cumulative lattice per axis: H /64, W /64, D /4
+# (bare forwards need lattice-divisible inputs, exactly as the torch
+# reference does; the tiled predictor pads).
+DEFAULT_POOL_KERNELS = ((2, 2, 1), (2, 2, 1), (2, 2, 2), (2, 2, 2),
+                        (2, 2, 1), (2, 2, 1))
+DEFAULT_CONV_KERNELS = ((3, 3, 1), (3, 3, 1), (3, 3, 3), (3, 3, 3),
                         (3, 3, 3), (3, 3, 3), (3, 3, 3))
 MAX_FEATURES_3D = 320
 MAX_FEATURES_2D = 480

@@ -126,10 +126,14 @@ class TestZoo3D:
 
     def test_nnunet_3d_anisotropic(self):
         model = net_factory_3d("nnUNet", in_chns=1, class_num=3)
-        # anisotropic pools [1,2,2]x2 then [2,2,2]x2 then [1,2,2]x2:
-        # depth needs /4, height/width need /64
-        logits, latent, fmap = run_model(model, jnp.ones((1, 4, 64, 64, 1)))
-        assert logits.shape == (1, 4, 64, 64, 3)
+        # reference pools [1,2,2]x2, [2,2,2]x2, [1,2,2]x2 transposed to the
+        # framework's depth-LAST layout: H,W need /64, depth needs /4 —
+        # the anisotropic '1' protects the thin depth axis (axis 3 here)
+        logits, latent, fmap = run_model(model, jnp.ones((1, 64, 64, 4, 1)))
+        assert logits.shape == (1, 64, 64, 4, 3)
+        # a thin depth-last volume like the zoo sweep's (64, 64, 32) works
+        logits2, _, _ = run_model(model, jnp.ones((1, 64, 64, 32, 1)))
+        assert logits2.shape == (1, 64, 64, 32, 3)
 
 
 class TestDiscriminators:
