@@ -108,11 +108,17 @@ class ProjectionHead(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, pre_pooled: bool = False):
+        """pre_pooled: the caller already adaptive-pooled x to
+        output_pooling_size (e.g. via ops.patches.pooled_patch_grid, which
+        computes the pool without materializing patch pixels) — skip the
+        internal pool. Parameter tree is identical either way (the pool has
+        no params), so checkpoints are interchangeable."""
         nd = x.ndim - 2
         if self.proj == "linear":
             return nn.Conv(self.proj_dim, (1,) * nd, dtype=self.dtype)(x)
-        x = adaptive_avg_pool(x, self.output_pooling_size)
+        if not pre_pooled:
+            x = adaptive_avg_pool(x, self.output_pooling_size)
         x = nn.Conv(x.shape[-1] * 2, (1,) * nd, dtype=self.dtype)(x)
         x = nn.Conv(self.proj_dim, (1,) * nd, dtype=self.dtype)(x)
         return x

@@ -53,3 +53,58 @@ def extract_patches_3d(x: jnp.ndarray, patch: int, step: int) -> jnp.ndarray:
     out = take(out, ws, 5).reshape(n, len(ds), patch, len(hs), patch, len(ws), patch, c)
     out = out.transpose(0, 1, 3, 5, 2, 4, 6, 7)
     return out.reshape(n, len(ds) * len(hs) * len(ws), patch, patch, patch, c)
+
+
+def _pool_bounds(patch: int, out: int):
+    """torch AdaptiveAvgPool window bounds within one patch (possibly
+    overlapping for non-divisible sizes): [floor(i*p/o), ceil((i+1)*p/o))."""
+    s = [int(np.floor(i * patch / out)) for i in range(out)]
+    e = [int(np.ceil((i + 1) * patch / out)) for i in range(out)]
+    return s, e
+
+
+def _axis_window_means(x: jnp.ndarray, axis: int, starts, s, e):
+    """Replace ``axis`` (length n) with two axes [P, out] holding the mean
+    of x over [start+s_i, start+e_i) — via an exclusive prefix sum, so the
+    cost is one cumsum + two small index-takes instead of gathering every
+    window's pixels. fp32 accumulation: bf16 prefix differences cancel."""
+    orig = x.dtype
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (1, 0)
+    prefix = jnp.pad(jnp.cumsum(x.astype(jnp.float32), axis=axis), pad)
+    lo = np.add.outer(np.asarray(starts), np.asarray(s)).reshape(-1)
+    hi = np.add.outer(np.asarray(starts), np.asarray(e)).reshape(-1)
+    seg = (jnp.take(prefix, jnp.asarray(hi), axis=axis)
+           - jnp.take(prefix, jnp.asarray(lo), axis=axis))
+    new_shape = x.shape[:axis] + (len(starts), len(s)) + x.shape[axis + 1:]
+    seg = seg.reshape(new_shape)
+    lens = np.array([ei - si for si, ei in zip(s, e)], np.float32)
+    bshape = [1] * seg.ndim
+    bshape[axis + 1] = len(s)
+    return (seg / jnp.asarray(lens).reshape(bshape)).astype(orig)
+
+
+def pooled_patch_grid(x: jnp.ndarray, patch: int, step: int,
+                      out_size: int) -> jnp.ndarray:
+    """adaptive_avg_pool(extract_patches_nd(x), out_size) computed WITHOUT
+    materializing patch pixels: every pooled cell is an axis-aligned box
+    mean, so per-axis prefix sums + boundary takes produce [N, P, out^nd, C]
+    directly. For the ISD 3D grid (700 overlapping 20^3 patches of a
+    [112,112,80] volume, model_3D.py:355-359 + AdaptiveAvgPool) this
+    replaces three chained 45M-element gathers, an 8-D transpose, and
+    their backward scatters with three cumsums and tiny index-takes.
+    Patch ordering matches extract_patches_2d/3d (row-major over the grid);
+    means are fp32-accumulated (more accurate than pooling bf16 pixels)."""
+    nd = x.ndim - 2
+    s, e = _pool_bounds(patch, out_size)
+    for axis in range(nd, 0, -1):  # last spatial axis first: earlier axis
+        starts = patch_grid_positions(x.shape[axis], patch, step)
+        x = _axis_window_means(x, axis, starts, s, e)  # indices stay valid
+    n = x.shape[0]
+    if nd == 2:
+        x = x.transpose(0, 1, 3, 2, 4, 5)
+        p = x.shape[1] * x.shape[2]
+        return x.reshape(n, p, out_size, out_size, x.shape[-1])
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    p = x.shape[1] * x.shape[2] * x.shape[3]
+    return x.reshape(n, p, out_size, out_size, out_size, x.shape[-1])

@@ -39,7 +39,7 @@ from arco_tpu.losses.supervised import (cross_entropy, dice_loss,
                                         kld_batchmean)
 from arco_tpu.models.heads import (LatentMLP, LatentPredictor,
                                    OutputsPredictor, ProjectionHead)
-from arco_tpu.ops.patches import extract_patches_2d, extract_patches_3d
+from arco_tpu.ops.patches import pooled_patch_grid
 from arco_tpu.ops.ring_buffer import enqueue_fixed
 from arco_tpu.train.schedule import make_optimizer
 from arco_tpu.utils.tree import ema_update
@@ -162,13 +162,20 @@ def _build_pretrain_state(rng, *, modules, cfg, input_shape,
 
 def _patch_descriptors(modules: ISDModules, head_params, logits,
                        patch: int, step: int, predictor_params=None):
-    """Patch grid -> per-patch pooled descriptors [B, P, F]."""
-    nd = logits.ndim - 2
-    extract = extract_patches_2d if nd == 2 else extract_patches_3d
-    patches = extract(logits, patch, step)           # [B, P, *ps, C]
-    b, p = patches.shape[:2]
-    folded = patches.reshape((b * p,) + patches.shape[2:])
-    out = modules.outputs_head.apply({"params": head_params}, folded)
+    """Patch grid -> per-patch pooled descriptors [B, P, F].
+
+    The pool is computed by ops.patches.pooled_patch_grid (prefix sums +
+    boundary takes) instead of extracting patch pixels: the 3D grid is 700
+    overlapping 20^3 windows per volume (model_3D.py:355-359), and the
+    extract-then-pool path costs three chained 45M-element gathers, an 8-D
+    transpose, and their backward scatters per forward. Exact equivalence
+    (values and grads) is pinned by tests/test_ops.py::TestPooledPatchGrid."""
+    pooled = pooled_patch_grid(logits, patch, step,
+                               modules.outputs_head.output_pooling_size)
+    b, p = pooled.shape[:2]
+    folded = pooled.reshape((b * p,) + pooled.shape[2:])
+    out = modules.outputs_head.apply({"params": head_params}, folded,
+                                     pre_pooled=True)
     if predictor_params is not None:
         out = modules.outputs_predictor.apply({"params": predictor_params},
                                               out)

@@ -205,3 +205,59 @@ class TestGaussian:
     def test_kernel_size_rule(self):
         assert gaussian.adv_morph_kernel_size(3, 1) == 7
         assert gaussian.adv_morph_kernel_size(41, 1) == 41
+
+
+class TestPooledPatchGrid:
+    """pooled_patch_grid must equal adaptive_avg_pool over every extracted
+    patch (the gather-free ISD descriptor path, ops/patches.py)."""
+
+    def _reference(self, x, patch, step, out):
+        from arco_tpu.models.layers import adaptive_avg_pool
+        from arco_tpu.ops.patches import (extract_patches_2d,
+                                          extract_patches_3d)
+        nd = x.ndim - 2
+        extract = extract_patches_2d if nd == 2 else extract_patches_3d
+        patches = extract(x, patch, step)
+        b, p = patches.shape[:2]
+        folded = patches.reshape((b * p,) + patches.shape[2:])
+        pooled = adaptive_avg_pool(folded, out)
+        return pooled.reshape((b, p) + pooled.shape[1:])
+
+    def test_2d_non_divisible_windows(self):
+        from arco_tpu.ops.patches import pooled_patch_grid
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, 30, 22, 3).astype(np.float32))
+        got = pooled_patch_grid(x, patch=10, step=5, out_size=7)
+        want = self._reference(x, 10, 5, 7)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_3d_isd_grid_shape(self):
+        """The ISD 3D configuration at reduced scale: patch 20 step 10
+        pool 8 (pretrain_3D.py:165 + ProjectionHead)."""
+        from arco_tpu.ops.patches import pooled_patch_grid
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(1, 40, 30, 20, 2).astype(np.float32))
+        got = pooled_patch_grid(x, patch=20, step=10, out_size=8)
+        want = self._reference(x, 20, 10, 8)
+        assert got.shape == want.shape == (1, 3 * 2 * 1, 8, 8, 8, 2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_2d_divisible_and_grad(self):
+        from arco_tpu.ops.patches import pooled_patch_grid
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.randn(1, 32, 32, 2).astype(np.float32))
+
+        def f_new(v):
+            return jnp.sum(pooled_patch_grid(v, 16, 8, 8) ** 2)
+
+        def f_old(v):
+            return jnp.sum(self._reference(v, 16, 8, 8) ** 2)
+
+        np.testing.assert_allclose(float(f_new(x)), float(f_old(x)),
+                                   rtol=1e-5)
+        g_new, g_old = jax.grad(f_new)(x), jax.grad(f_old)(x)
+        np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_old),
+                                   rtol=1e-4, atol=1e-5)
