@@ -61,10 +61,20 @@ def train(cfg: TrainConfig, snapshot_path: str):
                                 cfg.isd, (bs, h, w, cfg.data.in_channels),
                                 cfg.optim.max_iterations)
     state = state._replace(opt_state=tx.init(state.params))
+    # crash resume: iter_<N> pretrain checkpoints carry the FULL
+    # PretrainState (params, EMA, queues, optimizer, PRNG), so a restart
+    # continues exactly where it stopped — elasticity the reference's
+    # stage-1 lacks (SURVEY §5 failure-detection row).
+    own = ckpt.latest_step(snapshot_path)
+    if own:
+        logging.info("resuming pretrain state from iter_%d", own)
+        state = ckpt.restore_state(snapshot_path, own, state)
 
     # local ImageNet-pretrained backbone for stage 1 (the reference loads
-    # pretrained weights at model construction, e.g. ViT_Seg load_from)
-    if cfg.pretrained_path:
+    # pretrained weights at model construction, e.g. ViT_Seg load_from).
+    # Skipped on resume: the resumed state already trained FROM the
+    # pretrained init, overwriting it would discard that progress.
+    if cfg.pretrained_path and not own:
         from arco_tpu.compat.pretrained import load_pretrained
         variables = model.init(
             {"params": jax.random.PRNGKey(0),
@@ -112,7 +122,7 @@ def train(cfg: TrainConfig, snapshot_path: str):
         return stu, tea
 
     view_rng = jax.random.PRNGKey(cfg.seed + 1)
-    it = 0
+    it = int(state.step)
     t0 = time.time()
     while it < cfg.optim.max_iterations:
         for idxs in sampler:

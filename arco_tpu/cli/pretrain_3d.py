@@ -73,6 +73,14 @@ def train(cfg: TrainConfig, snapshot_path: str):
         jax.random.PRNGKey(cfg.seed), modules, cfg.isd,
         (bs,) + patch + (cfg.data.in_channels,), cfg.optim.max_iterations)
     state = state._replace(opt_state=tx.init(state.params))
+    # crash resume: iter_<N> pretrain checkpoints carry the FULL
+    # PretrainState (params, EMA, queues, optimizer, PRNG), so a restart
+    # continues exactly where it stopped — elasticity the reference's
+    # stage-1 lacks (SURVEY §5 failure-detection row).
+    own = ckpt.latest_step(snapshot_path)
+    if own:
+        logging.info("resuming pretrain state from iter_%d", own)
+        state = ckpt.restore_state(snapshot_path, own, state)
     step_fn = make_pretrain_step(modules, cfg.isd, tx, cfg.data.labeled_bs,
                                  num_classes)
 
@@ -84,7 +92,7 @@ def train(cfg: TrainConfig, snapshot_path: str):
     logger = MetricLogger(snapshot_path)
     host_rng = np.random.RandomState(cfg.seed)
 
-    it = 0
+    it = int(state.step)
     t0 = time.time()
     while it < cfg.optim.max_iterations:
         for idxs in sampler:

@@ -98,3 +98,31 @@ class TestTwoStagePipeline:
                           lambda c: val.load(val.sample_list.index(c)),
                           predict, 3, input_size=(32, 32))
         assert np.isfinite(res["mean"]).all()
+
+
+@pytest.mark.slow
+class TestPretrainResume:
+    def test_pretrain_resumes_from_own_checkpoint(self, env):
+        """A restarted pretrain must pick up its iter_<N> full-state
+        checkpoint and continue (elasticity the reference's stage-1 lacks;
+        live-fired need: the 3D stage-1 is a multi-hour run over a tunnel
+        that stalls)."""
+        from arco_tpu.cli.pretrain_2d import train
+
+        cfg = tiny_cfg(env, "ACDC/pre_resume")
+        cfg.ckpt_every = 3
+        cfg.optim.max_iterations = 3
+        snap = os.path.join(env["model_dir"],
+                            "ACDC/pre_resume_1_labeledfinal", cfg.model)
+        train(cfg, snap)
+        assert os.path.isdir(os.path.join(snap, "iter_3"))
+
+        cfg2 = tiny_cfg(env, "ACDC/pre_resume")
+        cfg2.ckpt_every = 3
+        cfg2.optim.max_iterations = 6
+        train(cfg2, snap)
+        # the CLI's basicConfig(force=True) owns the handlers (it must, the
+        # site plugin pre-configures root), so assert on log.txt itself
+        with open(os.path.join(snap, "log.txt")) as f:
+            assert "resuming pretrain state from iter_3" in f.read()
+        assert os.path.isdir(os.path.join(snap, "iter_6"))
