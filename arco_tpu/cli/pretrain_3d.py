@@ -92,13 +92,34 @@ def train(cfg: TrainConfig, snapshot_path: str):
     logger = MetricLogger(snapshot_path)
     host_rng = np.random.RandomState(cfg.seed)
 
+    # device-resident data path (data/device_bank.py): volumes staged in
+    # HBM, crop/rot/flip on device — per-step host->device traffic drops
+    # from ~48 MB to ~100 bytes (the tunneled backend leaks every
+    # transfer's host buffer; this is what kept OOM-killing stage-1).
+    # draw_params consumes host_rng exactly like dataset.get, so the data
+    # stream is bit-identical to the host path.
+    bank = None
+    if cfg.data.device_data:
+        from arco_tpu.data.device_bank import DeviceVolumeBank
+        try:
+            bank = DeviceVolumeBank.from_dataset(dataset, patch)
+            logging.info("device data path: %d volumes staged in HBM",
+                         len(dataset))
+        except ValueError as e:
+            logging.info("device data path unavailable (%s); "
+                         "using the host pipeline", e)
+
     it = int(state.step)
     t0 = time.time()
     while it < cfg.optim.max_iterations:
         for idxs in sampler:
-            samples = [dataset.get(i, host_rng) for i in idxs]
-            images = np.stack([s["image"] for s in samples])
-            labels = np.stack([s["label"] for s in samples])
+            if bank is not None:
+                images, labels = bank.gather(bank.draw_params(host_rng,
+                                                              idxs))
+            else:
+                samples = [dataset.get(i, host_rng) for i in idxs]
+                images = np.stack([s["image"] for s in samples])
+                labels = np.stack([s["label"] for s in samples])
             batch = {"student_image": jnp.asarray(images),
                      "teacher_image": jnp.asarray(images),
                      "label": jnp.asarray(labels)}

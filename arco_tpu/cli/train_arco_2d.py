@@ -145,7 +145,8 @@ def train(cfg: TrainConfig, snapshot_path: str):
     # from any previously written history, trimmed to the resume step
     loss_history = logger.load_history_pickle(snapshot_path)[:start_it]
     pending = []  # device scalars since the last flush — no host sync
-    for it, batch in enumerate(pipeline, start=start_it + 1):
+    batches = iter(()) if start_it >= cfg.optim.max_iterations else pipeline
+    for it, batch in enumerate(batches, start=start_it + 1):
         dev_batch = {"image_l": jnp.asarray(batch["image_l"]),
                      "label_l": jnp.asarray(batch["label_l"]),
                      "image_u": jnp.asarray(batch["image_u"])}

@@ -137,14 +137,50 @@ def train(cfg: TrainConfig, snapshot_path: str):
     ds_u = LAHeartDataset(cfg.data.root_path, "train",
                           index=cfg.data.labeled_num, label_type=0,
                           patch_size=patch)
-    pipeline = TwoStreamPipeline(ds_l, ds_u, bs, seed=cfg.seed, labeled_bs=b_l)
+    # device-resident data path (data/device_bank.py): volumes staged in
+    # HBM once, crop/rot/flip on device, ~100 bytes host->device per step.
+    # The RNG stream matches the single-worker host pipeline exactly.
+    banks = None
+    if cfg.data.device_data:
+        from arco_tpu.data.device_bank import DeviceVolumeBank
+        try:
+            banks = (DeviceVolumeBank.from_dataset(ds_l, patch),
+                     DeviceVolumeBank.from_dataset(ds_u, patch))
+            logging.info("device data path: %d + %d volumes staged in HBM",
+                         len(ds_l), len(ds_u))
+        except ValueError as e:
+            logging.info("device data path unavailable (%s); "
+                         "using the host pipeline", e)
+
+    if banks is None:
+        pipeline = TwoStreamPipeline(ds_l, ds_u, bs, seed=cfg.seed,
+                                     labeled_bs=b_l)
+        batches = iter(pipeline)
+    else:
+        pipeline = None
+
+        def _device_batches():
+            bank_l, bank_u = banks
+            rng = np.random.RandomState(cfg.seed + 1000 * 0)
+            n_l, n_u = len(ds_l), len(ds_u)
+            while True:
+                li = rng.randint(0, n_l, size=b_l)
+                ui = rng.randint(0, n_u, size=bs - b_l)
+                img_l, lab_l = bank_l.gather(bank_l.draw_params(rng, li))
+                img_u, _ = bank_u.gather(bank_u.draw_params(rng, ui))
+                yield {"image_l": img_l, "label_l": lab_l, "image_u": img_u}
+
+        batches = _device_batches()
+
     logger = MetricLogger(snapshot_path)
 
     t0 = time.time()
     start_it = int(state.step)
     loss_history = logger.load_history_pickle(snapshot_path)[:start_it]
     pending = []
-    for it, batch in enumerate(pipeline, start=start_it + 1):
+    if start_it >= cfg.optim.max_iterations:
+        batches = iter(())  # resumed at completion: nothing left to train
+    for it, batch in enumerate(batches, start=start_it + 1):
         dev_batch = {"image_l": jnp.asarray(batch["image_l"]),
                      "label_l": jnp.asarray(batch["label_l"]),
                      "image_u": jnp.asarray(batch["image_u"])}
@@ -170,7 +206,8 @@ def train(cfg: TrainConfig, snapshot_path: str):
                 ckpt.save_full_state(snapshot_path, it, state)
         if it >= cfg.optim.max_iterations:
             break
-    pipeline.close()
+    if pipeline is not None:
+        pipeline.close()
     final_it = int(state.step)
     if final_it % cfg.ckpt_every:
         ckpt.save_model_state(snapshot_path, final_it, state)

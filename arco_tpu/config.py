@@ -55,6 +55,13 @@ class DataConfig:
     in_channels: int = 1
     # 3D (LA) path: patch [112,112,80] (train_arco_3d.py:41)
     list_dir: Optional[str] = None
+    # stage the whole 3D train set in HBM and crop/rot/flip on device
+    # (data/device_bank.py): per-step host->device traffic drops from
+    # ~48 MB to ~100 bytes, which matters because the tunneled backend
+    # leaks every transfer's host staging buffer (OOM-kills multi-hour
+    # runs). Falls back to the host pipeline when volume shapes are not
+    # uniform/square in-plane. RNG-stream identical to the host path.
+    device_data: bool = True
 
 
 @dataclass

@@ -1,0 +1,130 @@
+"""Device-resident volume bank: stage the whole 3D training set in HBM once
+and perform the per-sample augmentations (rot90/flip/random-crop,
+la_heart.py:113-162 semantics) inside a jitted gather.
+
+Why this exists: the tunneled TPU backend used in this environment leaks
+the HOST staging buffer of every device transfer (~the transferred size,
+never freed — measured 15 MB retained per 16 MB `device_put`, flat for
+byte-scale transfers). Feeding [112,112,80] batches from the host moves
+~48 MB/step, which grows the trainer process to the 125 GB host limit in
+under an hour and gets it OOM-killed — the actual cause of the "tunnel
+outage" restarts in the committed full-budget runs. With the bank, the
+per-step host->device traffic is ONE [B,6] int32 parameter array (~100
+bytes), and the crop/rot/flip runs on device where it belongs.
+
+Exact parity: `draw_params` consumes the caller's RandomState in the same
+order as the host path (k, axis, then w1/h1/d1 per sample —
+datasets.random_rot_flip_3d + random_crop_3d), and `gather` reproduces
+np.rot90/np.flip/crop exactly, so a device batch is bit-identical to the
+host pipeline's for the same seed (tests/test_device_bank.py).
+
+Constraints: volumes must share one shape after the host padding rule and
+be square in-plane (rot90 in axes (0,1) must preserve the shape); LA-style
+preprocessed sets satisfy both. `from_dataset` raises ValueError otherwise
+— callers fall back to the host pipeline.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _host_pad(image: np.ndarray, label: np.ndarray, output_size):
+    """datasets.random_crop_3d's conditional symmetric padding, applied
+    once at staging time instead of per crop."""
+    if (label.shape[0] <= output_size[0] or label.shape[1] <= output_size[1]
+            or label.shape[2] <= output_size[2]):
+        pw = max((output_size[0] - label.shape[0]) // 2 + 3, 0)
+        ph = max((output_size[1] - label.shape[1]) // 2 + 3, 0)
+        pd = max((output_size[2] - label.shape[2]) // 2 + 3, 0)
+        image = np.pad(image, [(pw, pw), (ph, ph), (pd, pd)],
+                       mode="constant")
+        label = np.pad(label, [(pw, pw), (ph, ph), (pd, pd)],
+                       mode="constant")
+    return image, label
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _gather(images, labels, params, patch):
+    """params: int32 [B, 6] = (vol, k, axis, w1, h1, d1)."""
+
+    def one(p):
+        vol = jax.lax.dynamic_index_in_dim(images, p[0], axis=0,
+                                           keepdims=False)
+        lab = jax.lax.dynamic_index_in_dim(labels, p[0], axis=0,
+                                           keepdims=False)
+
+        def rot(v):
+            return jax.lax.switch(
+                p[1], [lambda u, kk=kk: jnp.rot90(u, kk, axes=(0, 1))
+                       for kk in range(4)], v)
+
+        def flip(v):
+            return jax.lax.switch(
+                p[2], [lambda u: jnp.flip(u, axis=0),
+                       lambda u: jnp.flip(u, axis=1)], v)
+
+        vol = flip(rot(vol))
+        lab = flip(rot(lab))
+        origin = (p[3], p[4], p[5])
+        vol = jax.lax.dynamic_slice(vol, origin, patch)
+        lab = jax.lax.dynamic_slice(lab, origin, patch)
+        return vol.astype(jnp.float32)[..., None], lab.astype(jnp.int32)
+
+    return jax.vmap(one)(params)
+
+
+class DeviceVolumeBank:
+    def __init__(self, images: np.ndarray, labels: np.ndarray,
+                 patch_size: Tuple[int, int, int]):
+        if images.shape[1] != images.shape[2]:
+            raise ValueError(
+                f"in-plane shape must be square for device rot90, got "
+                f"{images.shape[1:]}")
+        self.patch = tuple(patch_size)
+        self.shape = images.shape[1:]
+        self.images = jnp.asarray(images, jnp.float32)
+        self.labels = jnp.asarray(labels, jnp.int8)
+
+    @classmethod
+    def from_dataset(cls, dataset, patch_size) -> "DeviceVolumeBank":
+        """dataset: exposes __len__ and load(i) -> (image, label) numpy."""
+        vols, labs = [], []
+        for i in range(len(dataset)):
+            img, lab = dataset.load(i)
+            img, lab = _host_pad(img, lab, patch_size)
+            vols.append(img.astype(np.float32))
+            labs.append(lab.astype(np.int8))
+        shapes = {v.shape for v in vols}
+        if len(shapes) != 1:
+            raise ValueError(
+                f"device bank needs uniform volume shapes, got {shapes}")
+        return cls(np.stack(vols), np.stack(labs), patch_size)
+
+    def draw_params(self, rng: np.random.RandomState, idxs) -> np.ndarray:
+        """Per-sample transform draws, consuming ``rng`` in EXACTLY the
+        host-path order (random_rot_flip_3d then random_crop_3d)."""
+        w, h, d = self.shape
+        ow, oh, od = self.patch
+        rows = []
+        for i in idxs:
+            k = rng.randint(0, 4)
+            axis = rng.randint(0, 2)
+            # rot90 in (0,1) on a square plane keeps (w, h); crop ranges
+            # match the host's post-transform shape
+            w1 = rng.randint(0, w - ow + 1)
+            h1 = rng.randint(0, h - oh + 1)
+            d1 = rng.randint(0, d - od + 1)
+            rows.append((int(i), k, axis, w1, h1, d1))
+        return np.asarray(rows, np.int32)
+
+    def gather(self, params: np.ndarray):
+        """[B,6] int32 -> (images [B,*patch,1] f32, labels [B,*patch] i32),
+        both on device."""
+        return _gather(self.images, self.labels, jnp.asarray(params),
+                       self.patch)

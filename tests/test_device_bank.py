@@ -1,0 +1,76 @@
+"""DeviceVolumeBank: on-device rot90/flip/crop must be bit-identical to the
+host pipeline (datasets.random_rot_flip_3d + random_crop_3d) for the same
+RandomState sequence — the staging path that eliminates the per-step
+host->device volume transfers (and the tunnel client's host-buffer leak)."""
+
+import numpy as np
+import pytest
+
+from arco_tpu.data.datasets import LAHeartDataset
+from arco_tpu.data.device_bank import DeviceVolumeBank
+from arco_tpu.data.synthetic import make_la_like
+
+PATCH = (32, 32, 16)
+
+
+@pytest.fixture(scope="module")
+def la_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("la")
+    make_la_like(str(root / "d"), n_train=5, size=(48, 48, 32), seed=0)
+    return str(root / "d")
+
+
+def test_gather_matches_host_pipeline(la_root):
+    ds = LAHeartDataset(la_root, "train", patch_size=PATCH)
+    bank = DeviceVolumeBank.from_dataset(ds, PATCH)
+
+    rng_host = np.random.RandomState(11)
+    rng_dev = np.random.RandomState(11)
+    idxs = [0, 3, 1, 4, 2, 0, 0, 3]
+
+    want_img = np.stack([ds.get(i, rng_host)["image"] for i in idxs])
+    # rebuild rng_host state consumption: get() draws label path too — the
+    # same call produced both, so re-draw for labels with a fresh twin
+    rng_host2 = np.random.RandomState(11)
+    want_lab = np.stack([ds.get(i, rng_host2)["label"] for i in idxs])
+
+    params = bank.draw_params(rng_dev, idxs)
+    got_img, got_lab = bank.gather(params)
+    np.testing.assert_array_equal(np.asarray(got_img), want_img)
+    np.testing.assert_array_equal(np.asarray(got_lab), want_lab)
+    # identical rng consumption: the streams must end in the same state
+    assert rng_host.randint(0, 1 << 30) == rng_dev.randint(0, 1 << 30)
+
+
+def test_pad_rule_applied(la_root):
+    """Volumes smaller than the patch get the host's symmetric pad."""
+    ds = LAHeartDataset(la_root, "train", patch_size=(48, 48, 34))
+    bank = DeviceVolumeBank.from_dataset(ds, (48, 48, 34))
+    # 32 <= 34 triggers pd = (34-32)//2+3 = 4 on depth; w/h pad too
+    # (condition is a single `or`, la_heart.py:113-147 semantics)
+    assert bank.shape[2] == 32 + 2 * 4
+    rng = np.random.RandomState(0)
+    img, lab = bank.gather(bank.draw_params(rng, [0, 1]))
+    assert img.shape == (2, 48, 48, 34, 1)
+    assert lab.shape == (2, 48, 48, 34)
+
+
+def test_non_square_rejected():
+    imgs = np.zeros((2, 16, 20, 8), np.float32)
+    labs = np.zeros((2, 16, 20, 8), np.int8)
+    with pytest.raises(ValueError, match="square"):
+        DeviceVolumeBank(imgs, labs, (8, 8, 4))
+
+
+def test_non_uniform_rejected(la_root, tmp_path):
+    class Mixed:
+        def __len__(self):
+            return 2
+
+        def load(self, i):
+            s = 48 if i == 0 else 44
+            return (np.zeros((s, s, 32), np.float32),
+                    np.zeros((s, s, 32), np.uint8))
+
+    with pytest.raises(ValueError, match="uniform"):
+        DeviceVolumeBank.from_dataset(Mixed(), PATCH)
