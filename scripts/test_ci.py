@@ -35,8 +35,25 @@ CHUNKS = {
         "tests/test_data_eval.py", "tests/test_data_extras.py",
         "tests/test_datasets_extra.py", "tests/test_cli_eval_extra.py",
         "tests/test_inference_sharded.py", "tests/test_sliding_device.py",
-        "tests/test_spatial_sharding.py"],
+        "tests/test_spatial_sharding.py", "tests/test_device_bank.py"],
 }
+
+# whole-pipeline CLI drives, minutes-long compiles: run via `make test`,
+# not in the certified chunks
+SLOW_ONLY = {"tests/test_cli_pipeline.py", "tests/test_cli_natural.py"}
+
+
+def check_coverage():
+    """Fail loudly if a test file is in neither a chunk nor SLOW_ONLY —
+    explicit chunk lists silently drop new files otherwise."""
+    import glob
+    all_files = {p for p in glob.glob("tests/test_*.py")}
+    covered = SLOW_ONLY.union(*CHUNKS.values())
+    missing = sorted(all_files - covered)
+    if missing:
+        print(json.dumps({"error": "test files not in any chunk",
+                          "files": missing}))
+        sys.exit(2)
 # Budgets assume an otherwise-idle host: a concurrent TPU training job's
 # dispatch thread roughly halves compile throughput on this 1-core box.
 TIMEOUTS = {1: 600, 2: 1500, 3: 1800}
@@ -59,6 +76,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--chunk", type=int, default=None)
     args = p.parse_args()
+    check_coverage()
     chunks = [args.chunk] if args.chunk else sorted(CHUNKS)
     results = [run_chunk(n) for n in chunks]
     for r in results:
