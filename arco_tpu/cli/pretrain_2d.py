@@ -121,14 +121,32 @@ def train(cfg: TrainConfig, snapshot_path: str):
             tea = batch_photometric(k_t, images)
         return stu, tea
 
+    # device-resident data path (data/device_bank.py): slices staged in
+    # HBM, transforms on device; batches bit-identical to the host path
+    # for the same host_rng stream
+    bank = None
+    if cfg.data.device_data:
+        from arco_tpu.data.device_bank import DeviceSliceBank
+        try:
+            bank = DeviceSliceBank.from_dataset(dataset)
+            logging.info("device data path: %d slices staged in HBM",
+                         len(dataset))
+        except ValueError as e:
+            logging.info("device data path unavailable (%s); "
+                         "using the host pipeline", e)
+
     view_rng = jax.random.PRNGKey(cfg.seed + 1)
     it = int(state.step)
     t0 = time.time()
     while it < cfg.optim.max_iterations:
         for idxs in sampler:
-            samples = [dataset.get(i, host_rng) for i in idxs]
-            images = np.stack([s["image"] for s in samples])
-            labels = np.stack([s["label"] for s in samples])
+            if bank is not None:
+                images, labels = bank.gather(bank.draw_params(host_rng,
+                                                              idxs))
+            else:
+                samples = [dataset.get(i, host_rng) for i in idxs]
+                images = np.stack([s["image"] for s in samples])
+                labels = np.stack([s["label"] for s in samples])
             view_rng, k = jax.random.split(view_rng)
             stu, tea = make_views(k, jnp.asarray(images))
             batch = {"student_image": stu, "teacher_image": tea,

@@ -136,7 +136,43 @@ def train(cfg: TrainConfig, snapshot_path: str):
                              output_size=cfg.data.patch_size)
 
     ds_l, ds_u = build_datasets(cfg)
-    pipeline = TwoStreamPipeline(ds_l, ds_u, bs, seed=cfg.seed, labeled_bs=b_l)
+    # device-resident data path (data/device_bank.py): slices staged in
+    # HBM, rot90/flip/rotate on device, ~100 bytes host->device per step
+    # (the tunneled backend leaks every transfer's host buffer; the host
+    # pipeline's ~3 MB/step adds up over a 30k run). Batches are
+    # bit-identical to the single-worker host pipeline.
+    banks = None
+    if cfg.data.device_data:
+        from arco_tpu.data.device_bank import DeviceSliceBank
+        try:
+            banks = (DeviceSliceBank.from_dataset(ds_l),
+                     DeviceSliceBank.from_dataset(ds_u))
+            logging.info("device data path: %d + %d slices staged in HBM",
+                         len(ds_l), len(ds_u))
+        except ValueError as e:
+            logging.info("device data path unavailable (%s); "
+                         "using the host pipeline", e)
+
+    if banks is None:
+        pipeline = TwoStreamPipeline(ds_l, ds_u, bs, seed=cfg.seed,
+                                     labeled_bs=b_l)
+        batches = iter(pipeline)
+    else:
+        pipeline = None
+
+        def _device_batches():
+            bank_l, bank_u = banks
+            rng = np.random.RandomState(cfg.seed + 1000 * 0)
+            n_l, n_u = len(ds_l), len(ds_u)
+            while True:
+                li = rng.randint(0, n_l, size=b_l)
+                ui = rng.randint(0, n_u, size=bs - b_l)
+                img_l, lab_l = bank_l.gather(bank_l.draw_params(rng, li))
+                img_u, _ = bank_u.gather(bank_u.draw_params(rng, ui))
+                yield {"image_l": img_l, "label_l": lab_l, "image_u": img_u}
+
+        batches = _device_batches()
+
     logger = MetricLogger(snapshot_path)
 
     t0 = time.time()
@@ -145,7 +181,8 @@ def train(cfg: TrainConfig, snapshot_path: str):
     # from any previously written history, trimmed to the resume step
     loss_history = logger.load_history_pickle(snapshot_path)[:start_it]
     pending = []  # device scalars since the last flush — no host sync
-    batches = iter(()) if start_it >= cfg.optim.max_iterations else pipeline
+    if start_it >= cfg.optim.max_iterations:
+        batches = iter(())
     for it, batch in enumerate(batches, start=start_it + 1):
         dev_batch = {"image_l": jnp.asarray(batch["image_l"]),
                      "label_l": jnp.asarray(batch["label_l"]),
@@ -190,7 +227,8 @@ def train(cfg: TrainConfig, snapshot_path: str):
             logging.info("saved checkpoint iter_%d", it)
         if it >= cfg.optim.max_iterations:
             break
-    pipeline.close()
+    if pipeline is not None:
+        pipeline.close()
     final_it = int(state.step)
     if final_it % cfg.ckpt_every:
         ckpt.save_model_state(snapshot_path, final_it, state)

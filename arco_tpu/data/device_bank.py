@@ -128,3 +128,117 @@ class DeviceVolumeBank:
         both on device."""
         return _gather(self.images, self.labels, jnp.asarray(params),
                        self.patch)
+
+
+ROT_ANGLES = np.arange(-20, 20)  # random_generator_2d's randint(-20, 20)
+
+
+def _rotate_maps(h: int, w: int):
+    """Nearest-index maps replicating scipy.ndimage.rotate(order=0,
+    reshape=False, mode='constant') for every integer angle in [-20, 20):
+    inverse rotation about the (n-1)/2 center, floor(coord+0.5) indices,
+    and scipy's boundary rule — a pixel is cval when the RAW source
+    coordinate leaves [0, size-1]. Computed in float64 numpy at bank build
+    so device parity is EXACT (f32 trig on device could flip pixels that
+    sit on rounding boundaries). Verified against scipy across shapes and
+    all 40 angles (tests/test_device_bank.py)."""
+    ci, cj = (h - 1) / 2.0, (w - 1) / 2.0
+    di = np.arange(h, dtype=np.float64)[:, None] - ci
+    dj = np.arange(w, dtype=np.float64)[None, :] - cj
+    i0s, j0s, valids = [], [], []
+    for ang in ROT_ANGLES:
+        a = np.deg2rad(float(ang))
+        si = np.cos(a) * di + np.sin(a) * dj + ci
+        sj = -np.sin(a) * di + np.cos(a) * dj + cj
+        i0s.append(np.clip(np.floor(si + 0.5), 0, h - 1).astype(np.int32))
+        j0s.append(np.clip(np.floor(sj + 0.5), 0, w - 1).astype(np.int32))
+        valids.append((si >= 0) & (si <= h - 1) & (sj >= 0) & (sj <= w - 1))
+    return np.stack(i0s), np.stack(j0s), np.stack(valids)
+
+
+@jax.jit
+def _gather_slices(images, labels, rot_i, rot_j, rot_valid, params):
+    """params: int32 [B, 5] = (idx, mode, k, axis, angle); mode 0 =
+    identity, 1 = rot90+flip, 2 = nearest rotate (random_generator_2d)."""
+
+    def one(p):
+        img = jax.lax.dynamic_index_in_dim(images, p[0], 0, keepdims=False)
+        lab = jax.lax.dynamic_index_in_dim(labels, p[0], 0, keepdims=False)
+        a = p[4] + 20  # angle -> ROT_ANGLES row
+        i0 = jax.lax.dynamic_index_in_dim(rot_i, a, 0, keepdims=False)
+        j0 = jax.lax.dynamic_index_in_dim(rot_j, a, 0, keepdims=False)
+        ok = jax.lax.dynamic_index_in_dim(rot_valid, a, 0, keepdims=False)
+
+        def rotflip(x):
+            x = jax.lax.switch(
+                p[2], [lambda u, kk=kk: jnp.rot90(u, kk) for kk in range(4)],
+                x)
+            return jax.lax.switch(
+                p[3], [lambda u: jnp.flip(u, axis=0),
+                       lambda u: jnp.flip(u, axis=1)], x)
+
+        def apply(x):
+            return jax.lax.switch(
+                p[1], [lambda u: u, rotflip,
+                       lambda u: jnp.where(ok, u[i0, j0],
+                                           jnp.zeros((), u.dtype))], x)
+
+        return (apply(img).astype(jnp.float32)[..., None],
+                apply(lab).astype(jnp.int32))
+
+    return jax.vmap(one)(params)
+
+
+class DeviceSliceBank:
+    """2D analog of DeviceVolumeBank for SliceDataset/SynapseDataset: the
+    deterministic zoom-to-output_size runs on host at staging time (exact
+    scipy, datasets.random_generator_2d:44-49), the random rot90/flip or
+    ±20° nearest rotation runs on device. Per-step host->device traffic:
+    one [B,5] int32 array."""
+
+    def __init__(self, images: np.ndarray, labels: np.ndarray):
+        if images.shape[1] != images.shape[2]:
+            raise ValueError(
+                f"output size must be square for device rot90, got "
+                f"{images.shape[1:]}")
+        self.images = jnp.asarray(images, jnp.float32)
+        self.labels = jnp.asarray(labels, jnp.int8)
+        i0, j0, ok = _rotate_maps(*images.shape[1:3])
+        self.rot_i = jnp.asarray(i0)
+        self.rot_j = jnp.asarray(j0)
+        self.rot_valid = jnp.asarray(ok)
+
+    @classmethod
+    def from_dataset(cls, dataset) -> "DeviceSliceBank":
+        from scipy import ndimage as _ndi
+        out = dataset.output_size
+        imgs, labs = [], []
+        for i in range(len(dataset)):
+            image, label = dataset.load(i)
+            x, y = image.shape
+            if (x, y) != tuple(out):
+                image = _ndi.zoom(image, (out[0] / x, out[1] / y), order=0)
+                label = _ndi.zoom(label, (out[0] / x, out[1] / y), order=0)
+            imgs.append(image.astype(np.float32))
+            labs.append(label.astype(np.int8))
+        return cls(np.stack(imgs), np.stack(labs))
+
+    def draw_params(self, rng: np.random.RandomState, idxs) -> np.ndarray:
+        """Consumes ``rng`` exactly like datasets.random_generator_2d."""
+        rows = []
+        for i in idxs:
+            mode = k = axis = angle = 0
+            if rng.random_sample() > 0.5:
+                mode = 1
+                k = rng.randint(0, 4)
+                axis = rng.randint(0, 2)
+            elif rng.random_sample() > 0.5:
+                mode = 2
+                angle = rng.randint(-20, 20)
+            rows.append((int(i), mode, k, axis, angle))
+        return np.asarray(rows, np.int32)
+
+    def gather(self, params: np.ndarray):
+        return _gather_slices(self.images, self.labels, self.rot_i,
+                              self.rot_j, self.rot_valid,
+                              jnp.asarray(params))

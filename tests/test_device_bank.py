@@ -74,3 +74,49 @@ def test_non_uniform_rejected(la_root, tmp_path):
 
     with pytest.raises(ValueError, match="uniform"):
         DeviceVolumeBank.from_dataset(Mixed(), PATCH)
+
+
+class TestDeviceSliceBank:
+    """2D analog: device gather must be bit-identical to
+    SliceDataset.get (zoom at staging + rot90/flip or scipy-exact nearest
+    rotation on device)."""
+
+    @pytest.fixture(scope="class")
+    def acdc_root(self, tmp_path_factory):
+        from arco_tpu.data.synthetic import make_acdc_like
+        root = tmp_path_factory.mktemp("acdc2")
+        make_acdc_like(str(root / "d"), n_train=12, n_val=1, size=(40, 40),
+                       num_classes=3, depth=4, seed=0)
+        return str(root / "d")
+
+    def test_rotate_maps_match_scipy(self):
+        from scipy import ndimage
+        from arco_tpu.data.device_bank import ROT_ANGLES, _rotate_maps
+        rng = np.random.RandomState(0)
+        for shape in ((9, 9), (16, 16), (33, 33)):
+            x = rng.randint(0, 100, shape).astype(np.float32)
+            i0, j0, ok = _rotate_maps(*shape)
+            for ai, ang in enumerate(ROT_ANGLES):
+                want = ndimage.rotate(x, int(ang), order=0, reshape=False)
+                got = np.where(ok[ai], x[i0[ai], j0[ai]], 0.0)
+                np.testing.assert_array_equal(got, want, err_msg=str(ang))
+
+    def test_gather_matches_host_dataset(self, acdc_root):
+        from arco_tpu.data.datasets import SliceDataset
+        from arco_tpu.data.device_bank import DeviceSliceBank
+
+        ds = SliceDataset(acdc_root, "train", output_size=(32, 32))
+        bank = DeviceSliceBank.from_dataset(ds)
+        rng_h = np.random.RandomState(5)
+        rng_h2 = np.random.RandomState(5)
+        rng_d = np.random.RandomState(5)
+        # enough samples to hit all three modes (identity/rotflip/rotate)
+        idxs = list(range(12)) * 3
+        want_img = np.stack([ds.get(i, rng_h)["image"] for i in idxs])
+        want_lab = np.stack([ds.get(i, rng_h2)["label"] for i in idxs])
+        params = bank.draw_params(rng_d, idxs)
+        assert set(params[:, 1].tolist()) == {0, 1, 2}
+        got_img, got_lab = bank.gather(params)
+        np.testing.assert_array_equal(np.asarray(got_img), want_img)
+        np.testing.assert_array_equal(np.asarray(got_lab), want_lab)
+        assert rng_h.randint(1 << 30) == rng_d.randint(1 << 30)
