@@ -158,19 +158,10 @@ def train(cfg: TrainConfig, snapshot_path: str):
         batches = iter(pipeline)
     else:
         pipeline = None
-
-        def _device_batches():
-            bank_l, bank_u = banks
-            rng = np.random.RandomState(cfg.seed + 1000 * 0)
-            n_l, n_u = len(ds_l), len(ds_u)
-            while True:
-                li = rng.randint(0, n_l, size=b_l)
-                ui = rng.randint(0, n_u, size=bs - b_l)
-                img_l, lab_l = bank_l.gather(bank_l.draw_params(rng, li))
-                img_u, _ = bank_u.gather(bank_u.draw_params(rng, ui))
-                yield {"image_l": img_l, "label_l": lab_l, "image_u": img_u}
-
-        batches = _device_batches()
+        from arco_tpu.data.device_bank import two_stream_device_batches
+        batches = two_stream_device_batches(
+            banks[0], banks[1], b_l, bs - b_l, cfg.seed,
+            n_l=len(ds_l), n_u=len(ds_u))
 
     logger = MetricLogger(snapshot_path)
 

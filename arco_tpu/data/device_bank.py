@@ -242,3 +242,23 @@ class DeviceSliceBank:
         return _gather_slices(self.images, self.labels, self.rot_i,
                               self.rot_j, self.rot_valid,
                               jnp.asarray(params))
+
+
+def two_stream_device_batches(bank_l, bank_u, bs_l: int, bs_u: int,
+                              seed: int, n_l: int = None, n_u: int = None):
+    """Endless (image_l, label_l, image_u) batches from two banks,
+    reproducing TwoStreamPipeline's single-worker RandomState stream
+    exactly (pipeline.py: worker rng = RandomState(seed + 1000*wid); per
+    batch: labeled indices, unlabeled indices, then per-sample transform
+    draws labeled-first) — so switching a trainer between the host
+    pipeline and the device path yields bit-identical batches
+    (tests/test_device_bank.py)."""
+    rng = np.random.RandomState(seed + 1000 * 0)
+    n_l = n_l if n_l is not None else bank_l.images.shape[0]
+    n_u = n_u if n_u is not None else bank_u.images.shape[0]
+    while True:
+        li = rng.randint(0, n_l, size=bs_l)
+        ui = rng.randint(0, n_u, size=bs_u)
+        img_l, lab_l = bank_l.gather(bank_l.draw_params(rng, li))
+        img_u, _ = bank_u.gather(bank_u.draw_params(rng, ui))
+        yield {"image_l": img_l, "label_l": lab_l, "image_u": img_u}

@@ -120,3 +120,34 @@ class TestDeviceSliceBank:
         np.testing.assert_array_equal(np.asarray(got_img), want_img)
         np.testing.assert_array_equal(np.asarray(got_lab), want_lab)
         assert rng_h.randint(1 << 30) == rng_d.randint(1 << 30)
+
+
+def test_two_stream_device_batches_matches_host_pipeline(la_root):
+    """The trainer-facing generator must yield batches bit-identical to
+    TwoStreamPipeline's single-worker stream (same seed), so flipping
+    data.device_data cannot change training semantics."""
+    from arco_tpu.data.device_bank import two_stream_device_batches
+    from arco_tpu.data.pipeline import TwoStreamPipeline
+
+    ds_l = LAHeartDataset(la_root, "train", index=2, label_type=1,
+                          patch_size=PATCH)
+    ds_u = LAHeartDataset(la_root, "train", index=2, label_type=0,
+                          patch_size=PATCH)
+    bank_l = DeviceVolumeBank.from_dataset(ds_l, PATCH)
+    bank_u = DeviceVolumeBank.from_dataset(ds_u, PATCH)
+
+    pipe = TwoStreamPipeline(ds_l, ds_u, 3, seed=9, labeled_bs=1, workers=1)
+    gen = two_stream_device_batches(bank_l, bank_u, 1, 2, seed=9,
+                                    n_l=len(ds_l), n_u=len(ds_u))
+    try:
+        for _ in range(4):
+            want = next(iter(pipe))
+            got = next(gen)
+            np.testing.assert_array_equal(np.asarray(got["image_l"]),
+                                          want["image_l"])
+            np.testing.assert_array_equal(np.asarray(got["label_l"]),
+                                          want["label_l"])
+            np.testing.assert_array_equal(np.asarray(got["image_u"]),
+                                          want["image_u"])
+    finally:
+        pipe.close()
