@@ -35,7 +35,8 @@ CHUNKS = {
         "tests/test_data_eval.py", "tests/test_data_extras.py",
         "tests/test_datasets_extra.py", "tests/test_cli_eval_extra.py",
         "tests/test_inference_sharded.py", "tests/test_sliding_device.py",
-        "tests/test_spatial_sharding.py", "tests/test_device_bank.py"],
+        "tests/test_spatial_sharding.py", "tests/test_device_bank.py",
+        "tests/test_export.py"],
 }
 
 # whole-pipeline CLI drives, minutes-long compiles: run via `make test`,
