@@ -21,7 +21,7 @@ from arco_tpu.utils.compile_cache import enable_persistent_cache
 enable_persistent_cache()
 
 from arco_tpu.export import export_predictor, save_predictor
-from arco_tpu.models import net_factory
+from arco_tpu.models import net_factory, net_factory_3d
 from arco_tpu.train import checkpoint as ckpt
 
 
@@ -29,6 +29,9 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--exp", type=str, default="ACDC/example_training")
     p.add_argument("--model", type=str, default="unet")
+    p.add_argument("--dims", type=int, choices=[2, 3], default=2,
+                   help="2 -> net_factory (unet zoo), 3 -> net_factory_3d "
+                        "(vnet zoo, depth-last [B,H,W,D,C] inputs)")
     p.add_argument("--num_classes", type=int, default=4)
     p.add_argument("--in_chns", type=int, default=1)
     p.add_argument("--labeled_num", type=int, default=7)
@@ -56,8 +59,13 @@ def main(argv=None):
         raise SystemExit(f"no checkpoints under {snapshot}")
     params, stats = ckpt.load_model_params(snapshot, step, None, None)
 
-    model = net_factory(args.model, in_chns=args.in_chns,
-                        class_num=args.num_classes)
+    factory = net_factory if args.dims == 2 else net_factory_3d
+    model = factory(args.model, in_chns=args.in_chns,
+                    class_num=args.num_classes)
+    # 2D: H W; 3D: H W D (depth-last volume convention)
+    if len(args.input_size) != args.dims:
+        raise SystemExit(f"--input_size needs {args.dims} ints for "
+                         f"--dims {args.dims}")
     shape = (args.batch_size, *args.input_size, args.in_chns)
     exported = export_predictor(model, params, stats, shape,
                                 output=args.output, batch=args.batch,

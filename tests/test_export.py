@@ -92,3 +92,42 @@ def test_bad_batch_mode(unet_and_vars):
     with pytest.raises(ValueError):
         export_predictor(model, params, stats, (1, SIZE, SIZE, 1),
                          batch="sometimes")
+
+
+def test_multiplatform_lowering(unet_and_vars):
+    """platforms=('tpu','cpu') must lower both from a CPU-only process —
+    the artifact serves on a TPU pod and a CPU canary alike."""
+    model, params, stats = unet_and_vars
+    ex = export_predictor(model, params, stats, (1, SIZE, SIZE, 1),
+                          platforms=("tpu", "cpu"))
+    assert ex.platforms == ("tpu", "cpu")
+    x = jnp.asarray(_input(1))
+    variables = {"params": params}
+    if stats:
+        variables["batch_stats"] = stats
+    np.testing.assert_array_equal(
+        np.asarray(ex.call(x)),
+        np.asarray(make_predict_fn(model, variables)(x)))
+
+
+def test_vnet3d_dynamic_roundtrip(tmp_path):
+    """3D flagship (V-Net, depth-last [B,H,W,D,C]) with a symbolic batch."""
+    from arco_tpu.models import net_factory_3d
+    model = net_factory_3d("vnet", in_chns=1, class_num=2)
+    x0 = jnp.zeros((1, SIZE, SIZE, 16, 1), jnp.float32)
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)}, x0, train=True)
+    ex = export_predictor(model, v["params"], v.get("batch_stats", {}),
+                          (1, SIZE, SIZE, 16, 1), batch="dynamic")
+    path = str(tmp_path / "vnet.stablehlo")
+    save_predictor(path, ex)
+    predict = load_predictor(path)
+    x = np.random.RandomState(2).randn(2, SIZE, SIZE, 16, 1) \
+        .astype(np.float32)
+    got = np.asarray(predict(x))
+    assert got.shape == (2, SIZE, SIZE, 16)
+    variables = {"params": v["params"]}
+    if v.get("batch_stats", {}):
+        variables["batch_stats"] = v["batch_stats"]
+    np.testing.assert_array_equal(
+        got, np.asarray(make_predict_fn(model, variables)(jnp.asarray(x))))
