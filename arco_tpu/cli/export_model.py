@@ -54,7 +54,8 @@ def main(argv=None):
     snapshot = os.path.join(
         args.snapshot_dir, f"{args.exp}_{args.labeled_num}_labeledfinal",
         args.model)
-    step = args.iteration or ckpt.latest_step(snapshot)
+    step = (args.iteration if args.iteration is not None
+            else ckpt.latest_step(snapshot))
     if step is None:
         raise SystemExit(f"no checkpoints under {snapshot}")
     params, stats = ckpt.load_model_params(snapshot, step, None, None)
@@ -72,8 +73,10 @@ def main(argv=None):
                                 platforms=args.platforms)
     save_predictor(args.out, exported)
     size_mb = os.path.getsize(args.out) / 1e6
+    import jax
+    platforms = exported.platforms or (jax.default_backend(),)
     print(f"exported iter_{step} -> {args.out} "
-          f"({size_mb:.1f} MB, platforms={exported.platforms}, "
+          f"({size_mb:.1f} MB, platforms={platforms}, "
           f"in={exported.in_avals}, out={exported.out_avals})")
 
 

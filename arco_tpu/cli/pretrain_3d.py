@@ -27,6 +27,7 @@ from arco_tpu.models import net_factory_3d
 from arco_tpu.train import checkpoint as ckpt
 from arco_tpu.train.pretrain import (init_pretrain_state, make_isd_modules,
                                      make_pretrain_step)
+from arco_tpu.train import freeze
 from arco_tpu.train.schedule import make_optimizer
 from arco_tpu.utils.logging import MetricLogger, log_provenance
 
@@ -72,6 +73,10 @@ def train(cfg: TrainConfig, snapshot_path: str):
     state = init_pretrain_state(
         jax.random.PRNGKey(cfg.seed), modules, cfg.isd,
         (bs,) + patch + (cfg.data.in_channels,), cfg.optim.max_iterations)
+    # --train_encoder/--train_decoder: frozen halves get zero updates
+    # (pretrain_3D.py:73-74; see train/freeze.py)
+    tx = freeze.apply_freeze(tx, state.params, cfg.isd.train_encoder,
+                             cfg.isd.train_decoder)
     state = state._replace(opt_state=tx.init(state.params))
     # crash resume: iter_<N> pretrain checkpoints carry the FULL
     # PretrainState (params, EMA, queues, optimizer, PRNG), so a restart
@@ -142,8 +147,11 @@ def train(cfg: TrainConfig, snapshot_path: str):
 
 def main(argv=None):
     cfg = parse_args(argv, base=default_3d_config())
+    # snapshot suffix encodes the freeze config (pretrain_3D.py:294-301)
+    suffix = freeze.snapshot_suffix(cfg.isd.train_encoder,
+                                    cfg.isd.train_decoder)
     snapshot_path = os.path.join(
-        cfg.snapshot_dir, f"{cfg.exp}_{cfg.data.labeled_num}_labeledfinal",
+        cfg.snapshot_dir, f"{cfg.exp}_{cfg.data.labeled_num}_labeled{suffix}",
         cfg.model)
     train(cfg, snapshot_path)
 

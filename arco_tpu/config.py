@@ -88,6 +88,12 @@ class ISDConfig:
     k1: float = 1.0                  # latent KLD weight
     k2: float = 1.0                  # output KLD weight
     combinations: int = 0            # weak/strong combo id (pretrain_2D.py:210)
+    # freeze surface (pretrain_2D.py:71-72): frozen halves get exactly-zero
+    # optimizer updates (train/freeze.py); encoder-only additionally
+    # switches the pretrain loss to k1*loss_latent (pretrain_2D.py:249) and
+    # the snapshot suffix to _train_encoder (pretrain_2D.py:313-320)
+    train_encoder: bool = True
+    train_decoder: bool = True
 
 
 @dataclass
@@ -251,6 +257,8 @@ REFERENCE_FLAG_MAP = {
     "latent_pooling_size": "isd.latent_pooling_size",
     "latent_feature_size": "isd.latent_feature_size",
     "output_pooling_size": "isd.output_pooling_size",
+    "train_encoder": "isd.train_encoder",
+    "train_decoder": "isd.train_decoder",
     "func": "arco.func",
     "tps_sigma": "arco.tps_sigma",
     "consistency": "consistency",

@@ -52,7 +52,9 @@ def make_predict_fn(model, variables: dict, output: str = "argmax",
 
     ``model.apply`` follows the zoo forward contract
     (logits, latent, feature_maps) — unetWithArgs.py:345-348; only the
-    logits head is exported.
+    logits head is exported. ``dtype`` is the artifact's input dtype: the
+    exported calling convention expects it and the internal cast matches,
+    so e.g. ``dtype=jnp.bfloat16`` yields a genuinely bf16-in program.
     """
     if output not in OUTPUTS:
         raise ValueError(f"output must be one of {OUTPUTS}, got {output!r}")
@@ -97,7 +99,7 @@ def export_predictor(model, params: Any, batch_stats: Any,
     else:
         raise ValueError(f"batch must be 'static' or 'dynamic', got "
                          f"{batch!r}")
-    spec = jax.ShapeDtypeStruct(shape, jnp.float32)
+    spec = jax.ShapeDtypeStruct(shape, dtype)
 
     kwargs = {}
     if platforms is not None:
@@ -119,9 +121,20 @@ def load_predictor(path: str) -> Callable:
     with open(path, "rb") as f:
         exported = jexport.deserialize(bytearray(f.read()))
 
+    in_aval = exported.in_avals[0]
+
     @functools.wraps(exported.call)
     def predict(x):
-        return exported.call(jnp.asarray(x, jnp.float32))
+        x = jnp.asarray(x, in_aval.dtype)
+        # symbolic batch dims compare unequal to ints; check the static ones
+        static_ok = all(
+            not isinstance(want, int) or got == want
+            for got, want in zip(x.shape, in_aval.shape))
+        if x.ndim != len(in_aval.shape) or not static_ok:
+            raise ValueError(
+                f"input shape {x.shape} does not match the exported "
+                f"calling convention {in_aval.shape}")
+        return exported.call(x)
 
     predict.exported = exported
     return predict

@@ -245,7 +245,13 @@ def pretrain_loss_and_updates(params, state: PretrainState,
 
     loss_latent = kld_batchmean(latent_logits, ema_latent_logits)
     loss_output = kld_batchmean(output_logits, ema_output_logits)
-    loss = supervised + cfg.k1 * loss_latent + cfg.k2 * loss_output
+    # encoder-only pretraining drops the supervised and output-head terms
+    # (pretrain_2D.py:249: `loss = args.k1 * loss_latent`)
+    if getattr(cfg, "train_encoder", True) and \
+            not getattr(cfg, "train_decoder", True):
+        loss = cfg.k1 * loss_latent
+    else:
+        loss = supervised + cfg.k1 * loss_latent + cfg.k2 * loss_output
 
     aux = {"loss_ce": loss_ce, "loss_dice": loss_dice,
            "loss_latent": loss_latent, "loss_output": loss_output,

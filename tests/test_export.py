@@ -110,6 +110,35 @@ def test_multiplatform_lowering(unet_and_vars):
         np.asarray(make_predict_fn(model, variables)(x)))
 
 
+def test_dtype_in_calling_convention(tmp_path, unet_and_vars):
+    """dtype=bfloat16 must produce a genuinely bf16-in artifact (ADVICE r2:
+    the spec used to be hardcoded float32) and load_predictor must cast the
+    caller's input to the exported dtype, not an unconditional float32."""
+    model, params, stats = unet_and_vars
+    ex = export_predictor(model, params, stats, (1, SIZE, SIZE, 1),
+                          dtype=jnp.bfloat16)
+    assert ex.in_avals[0].dtype == jnp.bfloat16
+    path = str(tmp_path / "unet_bf16.stablehlo")
+    save_predictor(path, ex)
+    predict = load_predictor(path)
+    got = np.asarray(predict(_input(1)))
+    assert got.shape == (1, SIZE, SIZE)
+
+
+def test_shape_mismatch_is_readable(tmp_path, unet_and_vars):
+    """A mis-shaped input must fail with a readable ValueError naming both
+    shapes, not an opaque deserialized-call error (ADVICE r2)."""
+    model, params, stats = unet_and_vars
+    ex = export_predictor(model, params, stats, (2, SIZE, SIZE, 1))
+    path = str(tmp_path / "unet_chk.stablehlo")
+    save_predictor(path, ex)
+    predict = load_predictor(path)
+    with pytest.raises(ValueError, match="does not match the exported"):
+        predict(_input(3))  # wrong batch
+    with pytest.raises(ValueError, match="does not match the exported"):
+        predict(_input(2)[..., 0])  # wrong rank
+
+
 def test_vnet3d_dynamic_roundtrip(tmp_path):
     """3D flagship (V-Net, depth-last [B,H,W,D,C]) with a symbolic batch."""
     from arco_tpu.models import net_factory_3d
