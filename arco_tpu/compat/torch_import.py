@@ -162,6 +162,29 @@ def convert_vnet_state_dict(sd: Dict) -> Tuple[Dict, Dict]:
     return to_jnp(params), to_jnp(stats)
 
 
+def convert_feature_extractor_state_dict(sd: Dict) -> Dict:
+    """Reference FeatureExtractor (model_2D.py:20-56: five bias-free 1x1
+    Conv2d 'fea0'..'fea4') -> params for arco_tpu.models.heads
+    .FeatureExtractor (same tree: fea{i}/kernel)."""
+    sd = {k: v.cpu().numpy() if hasattr(v, "cpu") else np.asarray(v)
+          for k, v in sd.items()}
+    import jax.numpy as jnp
+    return {f"fea{i}": {"kernel": jnp.asarray(
+        np.asarray(sd[f"fea{i}.weight"]).transpose(2, 3, 1, 0))}
+        for i in range(5)}
+
+
+def convert_q_representation_state_dict(sd: Dict) -> Dict:
+    """Reference q_representation (train_arco_2d.py:231-235: Sequential of
+    two bias-free 1x1 Conv2d) -> params for heads.QRepresentation."""
+    sd = {k: v.cpu().numpy() if hasattr(v, "cpu") else np.asarray(v)
+          for k, v in sd.items()}
+    import jax.numpy as jnp
+    return {f"Conv_{i}": {"kernel": jnp.asarray(
+        np.asarray(sd[f"{i}.weight"]).transpose(2, 3, 1, 0))}
+        for i in range(2)}
+
+
 def load_reference_checkpoint(path: str, model: str = "unet"):
     """Load an iter_<N>.pth file and convert (requires torch)."""
     import torch
