@@ -227,6 +227,10 @@ def _build_torchvision():
     transforms.ToTensor = ToTensor
     transforms.InterpolationMode = InterpolationMode
     transforms.functional = functional
+    # real torchvision's `from torchvision.transforms import *` also binds
+    # the name `transforms` (the .transforms submodule) — augment.py:17
+    # relies on it for transforms.RandomCrop/ColorJitter
+    transforms.transforms = transforms
     tv.transforms = transforms
     tv.models = models
     utils_mod = types.ModuleType("torchvision.utils")
