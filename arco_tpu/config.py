@@ -121,6 +121,14 @@ class ArcoConfig:
     # max teacher keys enqueued per class per step (static-shape rebuild knob;
     # the reference enqueues a variable number — see losses/contrastive.py)
     memobank_enqueue: int = 256
+    # InfoNCE kernel: 'xla' = one bank matmul + logit gather
+    # (losses.contrastive.sampled_infonce), 'pallas' = the fully-streaming
+    # fused kernel (ops.pallas.infonce, custom-VJP, no [Q,cap] logits
+    # materialized). A/B'd on chip at the real bank sizes — see docs/PERF.md.
+    infonce_impl: str = "xla"
+    # bank tile (rows) per Pallas grid step; must divide the padded bank
+    # capacity (max(memobank_size, memobank_size_bg))
+    pallas_tile: int = 2500
     low_rank: int = 3
     high_rank: int = 20
     current_class_threshold: float = 0.3

@@ -238,8 +238,12 @@ def compute_contra_memobank_loss(
             loss_i = infonce(anchor_feat, proto, new_bank.data[i], neg_idx,
                              temp, bank_normalized=True)
         else:
-            loss_i = infonce(anchor_feat, proto, new_bank.data[i], neg_idx,
-                             temp)
+            # custom kernels (the Pallas path) contract: bank rows carry no
+            # gradient — true here by construction (teacher keys), made
+            # explicit so the zero-cotangent VJP is provably correct
+            loss_i = infonce(anchor_feat, proto,
+                             jax.lax.stop_gradient(new_bank.data[i]),
+                             neg_idx, temp)
 
         valids.append(n_low > 0)
         has_anchor.append((n_anchor > 0) & (bank_count > 0))

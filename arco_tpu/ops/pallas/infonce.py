@@ -6,9 +6,9 @@ The reference materializes the gathered negatives
 This kernel never materializes gathered keys at all:
 
 1. XLA side: sampled negative indices [Q, N] are scatter-added into a
-   multiplicity matrix ``counts[Q, capacity]`` (int32; a bank key drawn k
-   times contributes k*exp(sim) to the softmax denominator — exactly the CE
-   over the sampled multiset).
+   multiplicity matrix ``counts[Q, capacity]`` (a bank key drawn k times
+   contributes k*exp(sim) to the softmax denominator — exactly the CE over
+   the sampled multiset).
 2. Pallas side: the bank streams HBM->VMEM in tiles; each grid step computes
    one anchors @ tile^T block on the MXU and accumulates
    ``denom[q] += sum_k counts[q,k] * exp(sim/T - 1/T)`` on the VPU.
@@ -18,6 +18,21 @@ This kernel never materializes gathered keys at all:
 
 HBM traffic: one pass over the bank (+ counts) instead of Q*N scattered row
 gathers; compute rides the MXU at one [Q, C] x [C, T] matmul per tile.
+
+Training support: reverse-mode AD cannot flow through ``pallas_call``, so
+the loss core carries a custom VJP. The backward pass streams the bank a
+second time (``_infonce_grad_kernel``) to form the softmax-weighted key sum
+each anchor needs:
+
+    d loss / d a_n[q] = (1/(T*Q)) * [ sum_k w_qk * bank_n[k]
+                                      + (sigma_pos_q - 1) * p_n ]
+    w_qk = counts[q,k] * exp(s_qk/T - 1/T) / (exp(p_q/T - 1/T) + denom_q)
+
+Gradients are produced for the anchors and the prototype; the BANK (and the
+sampled counts) receive ZERO cotangents by design — in the trainer the bank
+holds detached teacher keys (loss_helper_3d.py:499 ``.detach()``), so no
+gradient may flow there. Callers that need bank gradients must use the XLA
+formulation (losses.contrastive.sampled_infonce).
 """
 
 from __future__ import annotations
@@ -47,6 +62,31 @@ def _infonce_tile_kernel(anchors_ref, bank_ref, counts_ref, denom_ref, *,
     denom_ref[:] += jnp.sum(contrib, axis=1, keepdims=True)
 
 
+def _infonce_grad_kernel(anchors_ref, bank_ref, counts_ref, invtot_ref,
+                         ga_ref, *, inv_temp: float):
+    """ga[q] += sum_{k in tile} counts[q,k]*exp(s_qk/T - 1/T)*invtot[q]
+    * bank[k] — the softmax-weighted negative-key sum, one MXU matmul per
+    bank tile on the way in ([Q,C]x[C,T]) and one on the way out
+    ([Q,T]x[T,C])."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        ga_ref[:] = jnp.zeros_like(ga_ref)
+
+    sims = jax.lax.dot_general(
+        anchors_ref[:], bank_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)          # [Q, T]
+    w = (counts_ref[:].astype(jnp.float32)
+         * jnp.exp(sims * inv_temp - inv_temp)
+         * invtot_ref[:])                            # [Q, T]
+    ga_ref[:] += jax.lax.dot_general(
+        w, bank_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # [Q, C]
+
+
 def _counts_matrix(neg_idx: jnp.ndarray, capacity: int) -> jnp.ndarray:
     """Multiplicity of each bank row in each query's sampled negatives."""
     q, n = neg_idx.shape
@@ -60,34 +100,14 @@ def _l2n(x, axis=-1, eps=1e-12):
                                 keepdims=True) + eps)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("temp", "tile", "interpret"))
-def pallas_sampled_infonce(anchor, proto, bank_rows, neg_idx,
-                           temp: float = 0.5, tile: int = 1024,
-                           interpret: bool = False):
-    """Drop-in replacement for losses.contrastive.sampled_infonce.
-
-    anchor [Q, C], proto [C], bank_rows [cap, C], neg_idx [Q, N] int32.
-    Returns the mean CE with the positive at index 0.
-    """
-    q, c = anchor.shape
-    cap = bank_rows.shape[0]
-    assert cap % tile == 0 or cap < tile, (cap, tile)
-    tile = min(tile, cap)
-
-    a_n = _l2n(anchor).astype(jnp.float32)
-    p_n = _l2n(proto[None, :])[0].astype(jnp.float32)
-    bank_n = _l2n(bank_rows).astype(jnp.float32)
-    counts = _counts_matrix(neg_idx, cap)
-
-    inv_temp = 1.0 / temp
-    grid = (cap // tile,)
-    denom = pl.pallas_call(
+def _stream_denom(a_n, bank_n, counts, inv_temp, tile, interpret):
+    q, c = a_n.shape
+    cap = bank_n.shape[0]
+    return pl.pallas_call(
         functools.partial(_infonce_tile_kernel, inv_temp=inv_temp),
-        grid=grid,
+        grid=(cap // tile,),
         in_specs=[
-            pl.BlockSpec((q, c), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, c), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((q, tile), lambda i: (0, i),
@@ -99,10 +119,85 @@ def pallas_sampled_infonce(anchor, proto, bank_rows, neg_idx,
         interpret=interpret,
     )(a_n, bank_n, counts)
 
-    pos_logit = (a_n @ p_n) * inv_temp                  # [Q]
+
+def _stream_grad(a_n, bank_n, counts, invtot, inv_temp, tile, interpret):
+    q, c = a_n.shape
+    cap = bank_n.shape[0]
+    return pl.pallas_call(
+        functools.partial(_infonce_grad_kernel, inv_temp=inv_temp),
+        grid=(cap // tile,),
+        in_specs=[
+            pl.BlockSpec((q, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((q, c), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((q, c), jnp.float32),
+        interpret=interpret,
+    )(a_n, bank_n, counts, invtot)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _fused_ce(a_n, p_n, bank_n, counts, inv_temp, tile, interpret):
+    loss, _ = _fused_ce_fwd(a_n, p_n, bank_n, counts, inv_temp, tile,
+                            interpret)
+    return loss
+
+
+def _fused_ce_fwd(a_n, p_n, bank_n, counts, inv_temp, tile, interpret):
+    denom = _stream_denom(a_n, bank_n, counts, inv_temp, tile,
+                          interpret)[:, 0]            # [Q]
+    pos_logit = (a_n @ p_n) * inv_temp                # [Q]
     pos_exp = jnp.exp(pos_logit - inv_temp)
-    lse = jnp.log(pos_exp + denom[:, 0]) + inv_temp
-    return jnp.mean(lse - pos_logit)
+    loss = jnp.mean(jnp.log(pos_exp + denom) + inv_temp - pos_logit)
+    return loss, (a_n, p_n, bank_n, counts, denom, pos_exp)
+
+
+def _fused_ce_bwd(inv_temp, tile, interpret, res, g):
+    a_n, p_n, bank_n, counts, denom, pos_exp = res
+    q = a_n.shape[0]
+    invtot = (1.0 / (pos_exp + denom))[:, None]       # [Q, 1]
+    ga = _stream_grad(a_n, bank_n, counts, invtot, inv_temp, tile,
+                      interpret)                      # [Q, C]
+    sigma_pos = pos_exp[:, None] * invtot             # [Q, 1]
+    scale = g * inv_temp / q
+    grad_an = scale * (ga + (sigma_pos - 1.0) * p_n[None, :])
+    grad_pn = scale * jnp.sum((sigma_pos - 1.0) * a_n, axis=0)
+    # bank/counts: detached by contract (see module docstring)
+    return (grad_an.astype(a_n.dtype), grad_pn.astype(p_n.dtype),
+            jnp.zeros_like(bank_n), jnp.zeros_like(counts))
+
+
+_fused_ce.defvjp(_fused_ce_fwd, _fused_ce_bwd)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("temp", "tile", "interpret"))
+def pallas_sampled_infonce(anchor, proto, bank_rows, neg_idx,
+                           temp: float = 0.5, tile: int = 1024,
+                           interpret: bool = False):
+    """Drop-in replacement for losses.contrastive.sampled_infonce.
+
+    anchor [Q, C], proto [C], bank_rows [cap, C], neg_idx [Q, N] int32.
+    Returns the mean CE with the positive at index 0. Differentiable w.r.t.
+    anchor and proto (normalization chain in plain JAX, bank streaming via
+    the custom VJP above); the bank receives no gradient.
+    """
+    cap = bank_rows.shape[0]
+    assert cap % tile == 0 or cap < tile, (cap, tile)
+    tile = min(tile, cap)
+
+    a_n = _l2n(anchor).astype(jnp.float32)
+    p_n = _l2n(proto[None, :])[0].astype(jnp.float32)
+    bank_n = _l2n(bank_rows).astype(jnp.float32)
+    # float32 counts: custom_vjp cotangents for integer operands are float0,
+    # which pallas residual plumbing has no use for — cast once here instead
+    counts = _counts_matrix(neg_idx, cap).astype(jnp.float32)
+    return _fused_ce(a_n, p_n, bank_n, counts, 1.0 / temp, tile, interpret)
 
 
 def make_infonce_fn(use_pallas: bool = True, tile: int = 1024,

@@ -335,6 +335,14 @@ def arco_loss_fn(params, state: ArcoState, modules: ArcoModules, cfg, batch,
         rep_teacher_all = jnp.concatenate(
             [aug["rep_l_teacher"], aug["rep_u_teacher"]], axis=0)
 
+        if getattr(cfg, "infonce_impl", "xla") == "pallas":
+            from arco_tpu.ops.pallas.infonce import make_infonce_fn
+            # interpret mode keeps the kernel runnable in CPU tests/dryruns
+            infonce_fn = make_infonce_fn(
+                use_pallas=True, tile=cfg.pallas_tile,
+                interpret=jax.default_backend() != "tpu")
+        else:
+            infonce_fn = None
         new_bank, reco = compute_contra_memobank_loss(
             aug["rng_contrastive"], rep_all, label_all, prob_teacher_all,
             rank_all, is_labeled, label_l_padded,
@@ -345,7 +353,8 @@ def arco_loss_fn(params, state: ArcoState, modules: ArcoModules, cfg, batch,
             num_queries=cfg.num_queries, num_negatives=cfg.num_negatives,
             temp=cfg.temp, low_rank=cfg.low_rank, high_rank=cfg.high_rank,
             current_class_threshold=cfg.current_class_threshold,
-            enqueue_per_class=cfg.memobank_enqueue)
+            enqueue_per_class=cfg.memobank_enqueue,
+            infonce_fn=infonce_fn)
     else:
         new_bank, reco = state.memobank, jnp.array(0.0, jnp.float32)
 
