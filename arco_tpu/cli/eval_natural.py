@@ -23,7 +23,7 @@ from arco_tpu.models import net_factory
 from arco_tpu.train import checkpoint as ckpt
 
 
-def main(argv=None):
+def build_parser():
     p = argparse.ArgumentParser()
     p.add_argument("--root_path", type=str, required=True)
     p.add_argument("--dataset", type=str, default="pascal",
@@ -37,7 +37,11 @@ def main(argv=None):
                    help="override the dataset's default crop (smoke/CI hook)")
     p.add_argument("--num_classes", type=int, default=None,
                    help="override the dataset's class count (smoke/CI hook)")
-    args = p.parse_args(argv)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
 
     defaults = NaturalImageDataset.DEFAULTS[args.dataset]
     num_classes = args.num_classes or defaults["num_classes"]

@@ -23,7 +23,7 @@ from arco_tpu.models import net_factory
 from arco_tpu.train import checkpoint as ckpt
 
 
-def main(argv=None):
+def build_parser():
     p = argparse.ArgumentParser()
     p.add_argument("--root_path", type=str, default="../data/ACDC")
     p.add_argument("--exp", type=str, default="ACDC/example_training")
@@ -45,7 +45,11 @@ def main(argv=None):
                    help="write <case>_pred/_img/_gt volumes next to the "
                         "snapshot (npz; .nii.gz when nibabel is available) "
                         "— test_2D.py:93-101 parity")
-    args = p.parse_args(argv)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
 
     snapshot = os.path.join(
         args.snapshot_dir, f"{args.exp}_{args.labeled_num}_labeledfinal",

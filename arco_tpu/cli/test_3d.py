@@ -68,7 +68,7 @@ def _evaluate_checkpoint(args, predict_with, dataset, load, params, stats):
                        use_nms=bool(args.nms))
 
 
-def main(argv=None):
+def build_parser():
     p = argparse.ArgumentParser()
     p.add_argument("--root_path", type=str, default="../data/LA")
     p.add_argument("--exp", type=str, default="LA/example")
@@ -90,7 +90,11 @@ def main(argv=None):
     p.add_argument("--device_eval", type=int, default=1,
                    help="1: compile the whole sliding-window case on device "
                         "(eval/sliding_window_device.py); 0: host-batched")
-    args = p.parse_args(argv)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
 
     snapshot = os.path.join(
         args.snapshot_dir, f"{args.exp}_{args.labeled_num}_labeledfinal",

@@ -24,7 +24,7 @@ from arco_tpu.models import net_factory
 from arco_tpu.train import checkpoint as ckpt
 
 
-def main(argv=None):
+def build_parser():
     p = argparse.ArgumentParser()
     p.add_argument("--root_path", type=str, default="../data/Synapse")
     p.add_argument("--list_dir", type=str, default=None)
@@ -36,7 +36,11 @@ def main(argv=None):
     p.add_argument("--iteration", type=int, default=None)
     p.add_argument("--input_size", type=int, nargs=2, default=[256, 256])
     p.add_argument("--lits", type=int, default=0)
-    args = p.parse_args(argv)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
 
     snapshot = os.path.join(
         args.snapshot_dir, f"{args.exp}_{args.labeled_num}_labeledfinal",

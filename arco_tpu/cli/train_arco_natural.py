@@ -37,7 +37,7 @@ from arco_tpu.train.schedule import make_optimizer
 from arco_tpu.utils.logging import MetricLogger, log_provenance
 
 
-def main(argv=None):
+def build_parser():
     p = argparse.ArgumentParser()
     p.add_argument("--root_path", type=str, required=True)
     p.add_argument("--dataset", type=str, default="pascal",
@@ -58,7 +58,11 @@ def main(argv=None):
     p.add_argument("--log_every", type=int, default=20)
     p.add_argument("--set", action="append", default=[], metavar="K=V",
                    help="ArcoConfig field override, e.g. --set memobank_size=64")
-    args = p.parse_args(argv)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
 
     defaults = NaturalImageDataset.DEFAULTS[args.dataset]
     num_classes = args.num_classes or defaults["num_classes"]
