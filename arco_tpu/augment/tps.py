@@ -167,23 +167,15 @@ class RandTPS:
         if x.ndim == 4:
             return grid_sample_2d(x, grid, mode=mode, padding_mode=pm,
                                   align_corners=True)
-        # 3D: the same 2D grid warps each depth slice (rand_tps_3d.py:147-167)
+        # 3D: the same 2D grid warps each depth slice (rand_tps_3d.py:147-167).
+        # The z coordinate is the identity, so a trilinear 3D gather is
+        # degenerate — half its taps carry weight 0. Fold depth into the
+        # channel axis and run ONE 2D gather: 4 taps instead of 8, no
+        # full-volume [B,H,W,D,C]<->[B,D,H,W,C] relayouts. This leg was 43%
+        # of the exact-parity 3D step (docs/PERF.md, VERDICT r2 item 3).
         assert x.ndim == 5
-        d = x.shape[3]  # [B, H, W, D, C]
-        grid3 = jnp.concatenate([
-            jnp.broadcast_to(grid[:, :, :, None, :],
-                             (*grid.shape[:3], d, 2)),
-            jnp.broadcast_to(
-                (jnp.arange(d, dtype=jnp.float32) * 2 / max(d - 1, 1) - 1
-                 )[None, None, None, :, None],
-                (*grid.shape[:3], d, 1))], axis=-1)
-        # grid_sample_3d expects [B, D, H, W, C]; our LA volumes are
-        # [B, H, W, D, C] — permute around the call.
-        xt = jnp.transpose(x, (0, 3, 1, 2, 4))
-        gt = jnp.transpose(grid3, (0, 3, 1, 2, 4))
-        # torch grid order (x=W, y=H, z=D): here dims after permute are
-        # (D_out, H_out, W_out) sampling coords (x->W_in, y->H_in, z->D_in)
-        gt = jnp.stack([gt[..., 0], gt[..., 1], gt[..., 2]], axis=-1)
-        out = grid_sample_3d(xt, gt, mode=mode, padding_mode=pm,
+        b, h, w, d, c = x.shape  # [B, H, W, D, C]
+        flat = x.reshape(b, h, w, d * c)
+        out = grid_sample_2d(flat, grid, mode=mode, padding_mode=pm,
                              align_corners=True)
-        return jnp.transpose(out, (0, 2, 3, 1, 4))
+        return out.reshape(b, out.shape[1], out.shape[2], d, c)

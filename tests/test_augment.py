@@ -73,6 +73,22 @@ class TestRandTPS:
         np.testing.assert_allclose(np.asarray(out[:, :, :, 0, 0]),
                                    np.asarray(out[:, :, :, 3, 0]), atol=1e-4)
 
+    def test_apply_3d_equals_per_slice_2d(self):
+        """The depth-folded single 2D gather must equal an explicit 2D warp
+        of every depth slice — the reference's loop semantics
+        (rand_tps_3d.py:147-167) — for distinct per-slice content."""
+        from arco_tpu.ops.interpolate import grid_sample_2d
+        t = tps.RandTPS(10, 12, batch_size=2, sigma=0.05)
+        grid = t.reset(jax.random.PRNGKey(7))
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, 10, 12, 5, 3).astype(np.float32))
+        out = t.apply(x, grid, padding_mode="zeros")
+        for dd in range(5):
+            ref = grid_sample_2d(x[:, :, :, dd, :], grid,
+                                 padding_mode="zeros", align_corners=True)
+            np.testing.assert_allclose(np.asarray(out[:, :, :, dd, :]),
+                                       np.asarray(ref), atol=1e-6)
+
 
 class TestAdvMorph:
     def test_field_exponentiation_matches_reference(self, rng):
