@@ -71,9 +71,12 @@ def parse_entry_traffic(hlo_text: str):
     assert entry is not None, "no ENTRY computation found"
 
     # instruction grammar: name = <shape> <opcode>(...), where <shape> is
-    # either one literal or a tuple '(f32[..], s32[..], ...)'
+    # either one literal or a tuple '(f32[..], s32[..], ...)'. Layout
+    # annotations may themselves contain parens (TPU tiling '{1,0:T(8,128)}',
+    # memory spaces 'S(1)'), so the tuple alternative allows depth-1 nesting.
     instr_re = re.compile(
-        r"^\s+(%?[\w.\-]+) = (\([^)]*\)|\S+) ([\w\-]+)\(", re.M)
+        r"^\s+(%?[\w.\-]+) = (\((?:[^()]|\([^()]*\))*\)|\S+) ([\w\-]+)\(",
+        re.M)
     out_bytes = {}
     lines = []
     for m in instr_re.finditer(entry):
@@ -89,7 +92,10 @@ def parse_entry_traffic(hlo_text: str):
         if opcode in ("parameter", "constant", "get-tuple-element", "tuple",
                       "bitcast"):
             continue
-        operands = re.findall(r"%[\w.\-]+", rhs.split("metadata=")[0])
+        # operands live to the right of the '=' — exclude the LHS name so an
+        # instruction doesn't count its own result as a read
+        operands = re.findall(r"%[\w.\-]+",
+                              rhs.split("=", 1)[1].split("metadata=")[0])
         read = sum(out_bytes.get(op, 0) for op in operands)
         out = out_bytes.get(name, 0)
         mm = re.search(r'op_name="([^"]*)"', rhs)

@@ -24,7 +24,8 @@ CHUNKS = {
         "tests/test_config_cli.py", "tests/test_fast_percentile.py",
         "tests/test_sampler_distribution.py", "tests/test_augment.py",
         "tests/test_utils_misc.py", "tests/test_reference_parity.py",
-        "tests/test_repro_kit.py", "tests/test_remat.py"],
+        "tests/test_repro_kit.py", "tests/test_remat.py",
+        "tests/test_quality_gate.py"],
     # model zoo: many distinct graphs
     2: ["tests/test_models.py", "tests/test_model_zoo.py",
         "tests/test_model_zoo_big.py", "tests/test_gan.py",
