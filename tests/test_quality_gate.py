@@ -76,4 +76,5 @@ def test_arco_beats_supervised(artifact):
 
 def test_gains_consistent_with_runs(artifact):
     for r in artifact["runs"]:
-        assert abs(r["gain"] - (r["arco_dice"] - r["supervised_dice"])) < 1e-6
+        # the artifact rounds `gain` to 4 decimals
+        assert abs(r["gain"] - (r["arco_dice"] - r["supervised_dice"])) < 1e-4
