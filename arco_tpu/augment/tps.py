@@ -66,8 +66,13 @@ class TPSGridGen:
             _partial_repr(target_coordinate, tcp), np.ones((hw, 1), np.float32),
             target_coordinate], axis=1)
 
-        self.inverse_kernel = jnp.asarray(inverse_kernel)
-        self.target_coordinate_repr = jnp.asarray(repr_mat)
+        # kept as HOST numpy: a device-resident [H*W, N+3] matrix becomes a
+        # closure-captured constant of every jitted step, and .lower() then
+        # has to fetch it device->host to emit the IR literal — a transfer
+        # the tunneled backend can fail with RESOURCE_EXHAUSTED. As numpy it
+        # lowers directly and XLA stages it to HBM once at compile time.
+        self.inverse_kernel = np.asarray(inverse_kernel)
+        self.target_coordinate_repr = np.asarray(repr_mat)
         self.target_height = target_height
         self.target_width = target_width
 

@@ -126,9 +126,11 @@ class ArcoConfig:
     # fused kernel (ops.pallas.infonce, custom-VJP, no [Q,cap] logits
     # materialized). A/B'd on chip at the real bank sizes — see docs/PERF.md.
     infonce_impl: str = "xla"
-    # bank tile (rows) per Pallas grid step; must divide the padded bank
-    # capacity (max(memobank_size, memobank_size_bg))
-    pallas_tile: int = 2500
+    # bank tile (rows) per Pallas grid step; Mosaic needs a multiple of 8
+    # that divides the padded bank capacity (max(memobank_size,
+    # memobank_size_bg)) — ops.pallas.infonce.valid_tile rounds a
+    # non-conforming request down to the nearest valid one
+    pallas_tile: int = 2000
     low_rank: int = 3
     high_rank: int = 20
     current_class_threshold: float = 0.3

@@ -57,6 +57,15 @@ def revisiting_loss(random_pool, rep_u, rep_u_teacher, topk: int = 5):
     feat_axes = feature_axes(rep_u)
     st = jnp.concatenate([l2_normalize(rep_u, feat_axes),
                           l2_normalize(rep_u_teacher, feat_axes)], axis=0)
+    # The term is gradient-free BY REFERENCE SEMANTICS: the student side
+    # feeds only topk INDICES (no tangent) and the teacher side is the
+    # detached EMA representation (train_arco_2d.py:125-135). Making that
+    # explicit matters on TPU: without it the concat+dot+slice chain hides
+    # the structurally-zero tangent from JAX, and the transpose pass emits
+    # a dead cotangent dot that re-reads the ENTIRE multi-GB pool every
+    # step (measured 2.86 GB/step at 2D 256², docs/artifacts/hbm) — and
+    # that spurious live read also blocks the in-place pool enqueue.
+    st = jax.lax.stop_gradient(st)
     sims = jax.lax.dot_general(
         st, random_pool.astype(st.dtype),
         dimension_numbers=((feat_axes, feat_axes), ((), ())),

@@ -338,9 +338,13 @@ def arco_loss_fn(params, state: ArcoState, modules: ArcoModules, cfg, batch,
         if getattr(cfg, "infonce_impl", "xla") == "pallas":
             from arco_tpu.ops.pallas.infonce import make_infonce_fn
             # interpret mode keeps the kernel runnable in CPU tests/dryruns
+            # bank_normalized: this trainer's banks store keys L2-normalized
+            # at enqueue time, so the kernel streams them as stored (bf16
+            # under mixed precision) with no per-step renormalize pass
             infonce_fn = make_infonce_fn(
                 use_pallas=True, tile=cfg.pallas_tile,
-                interpret=jax.default_backend() != "tpu")
+                interpret=jax.default_backend() != "tpu",
+                bank_normalized=True)
         else:
             infonce_fn = None
         new_bank, reco = compute_contra_memobank_loss(
@@ -505,11 +509,25 @@ def make_arco_step(modules: ArcoModules, cfg, tx, num_classes: int,
                                           params["model"], 0.99)}
 
         # random-pool enqueue (train_arco_2d.py:400-402); keys stay in the
-        # rep's native shape — normalized over the feature axes
+        # rep's native shape — normalized over the feature axes.
+        #
+        # The optimization_barrier orders the enqueue AFTER the
+        # revisiting-loss read of the pool (loss_q is derived from that
+        # read; with the stop_gradient in revisiting_loss its backward
+        # provably never touches the pool, so the scalar is the complete
+        # read fence). Measured on chip at 2D 256² bs 4+4
+        # (docs/artifacts/hbm): without the fence XLA inserts two extra
+        # full-pool copies (+9.4 GB, 190.3 ms/step); with it 175.8 ms.
+        # A separate donated enqueue dispatch (fully in-place DUS) was
+        # also measured and is NOT faster end-to-end here — the second
+        # dispatch's latency gap on the tunneled backend eats the saving
+        # (177.0 ms) — so the fenced in-step form stays.
         keys = normalize.l2_normalize(
             rep_u_teacher.astype(jnp.float32),
             normalize.feature_axes(rep_u_teacher))
-        pool, pool_ptr = enqueue_fixed(state.random_pool,
+        pool_in, _ = jax.lax.optimization_barrier(
+            (state.random_pool, aux["metrics"]["loss_q"]))
+        pool, pool_ptr = enqueue_fixed(pool_in,
                                        state.random_pool_ptr, keys)
 
         new_state = state._replace(

@@ -35,7 +35,7 @@ def bench(impl: str, steps: int = 20) -> dict:
     dtype = jnp.float32 if on_cpu else jnp.bfloat16
     cfg = dataclasses.replace(
         ArcoConfig(), infonce_impl=impl,
-        pallas_tile=50 if on_cpu else 2500,
+        pallas_tile=50 if on_cpu else 2000,
         memobank_size=100 if on_cpu else 30000,
         memobank_size_bg=100 if on_cpu else 50000,
         K=36 - 36 % (2 * b) if 36 % (2 * b) else 36)

@@ -30,13 +30,27 @@ if _xb.backends_are_initialized():  # pragma: no cover
 # Persistent compile cache for the CPU test backend: the suite is
 # compile-bound on this 1-core host (measured 80s -> 21s for a UNet
 # init+jit on the second run). A test-only cache dir keeps it separate
-# from the TPU cache; same-host reuse is safe (the cpu_aot_loader
-# "prefer-no-scatter" feature warnings are tuning hints, not ISA
-# mismatches). Disable with ARCO_NO_COMPILE_CACHE=1 (e.g. when timing
-# cold compiles).
+# from the TPU cache. The dir is KEYED BY A CPU FINGERPRINT: the sandbox
+# can move between physical hosts across sessions, and XLA:CPU AOT
+# entries compiled on a different machine load with feature mismatches
+# (cpu_aot_loader warns of possible SIGILL; different codegen also
+# changes f32 reduction orders). A host change simply starts a fresh
+# cache. Disable with ARCO_NO_COMPILE_CACHE=1 (e.g. when timing cold
+# compiles).
 if not os.environ.get("ARCO_NO_COMPILE_CACHE"):  # pragma: no branch
+    import hashlib
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as _f:
+            _flags_lines = sorted({l.strip() for l in _f
+                                   if l.startswith(("flags", "Features"))})
+        _fp_src = platform.machine() + "|" + "|".join(_flags_lines)
+    except OSError:  # non-Linux fallback
+        _fp_src = platform.machine() + "|" + platform.processor()
+    _fp = hashlib.sha256(_fp_src.encode()).hexdigest()[:12]
     _cache = os.path.join(os.path.expanduser("~"), ".cache",
-                          "arco_tpu_xla_cpu_tests")
+                          f"arco_tpu_xla_cpu_tests_{_fp}")
     os.makedirs(_cache, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", _cache)

@@ -12,9 +12,22 @@ from arco_tpu.ops.pallas.infonce import (_counts_matrix,
 
 class TestCounts:
     def test_counts_matrix(self):
+        # stored TRANSPOSED [capacity, Q] so the Pallas blocks keep Q on the
+        # last axis (Mosaic lane-dim rule — see ops/pallas/infonce.py)
         idx = jnp.array([[0, 0, 2], [1, 3, 3]], jnp.int32)
         c = np.asarray(_counts_matrix(idx, 4))
-        np.testing.assert_array_equal(c, [[2, 0, 1, 0], [0, 1, 0, 2]])
+        np.testing.assert_array_equal(
+            c, np.asarray([[2, 0, 1, 0], [0, 1, 0, 2]]).T)
+
+    def test_valid_tile(self):
+        from arco_tpu.ops.pallas.infonce import valid_tile
+        assert valid_tile(50000, 2000) == 2000
+        assert valid_tile(50000, 2500) == 2000   # 2500 % 8 != 0 -> round
+        assert valid_tile(30000, 2000) == 2000
+        assert valid_tile(128, 2000) == 128      # cap <= request: one tile
+        for cap, req in [(50000, 2500), (30000, 1024), (30000, 999)]:
+            t = valid_tile(cap, req)
+            assert cap % t == 0 and (t % 8 == 0 or t == cap), (cap, req, t)
 
 
 class TestKernel:
@@ -121,4 +134,14 @@ class TestMemobankLossWithPallas:
             infonce_fn=make_infonce_fn(use_pallas=True, tile=64,
                                        interpret=True), **kwargs)
         np.testing.assert_allclose(float(reco_pl), float(reco_xla),
+                                   rtol=1e-4)
+        # the trainer's configuration: banks hold keys L2-normalized at
+        # enqueue time, so the kernel may stream them as stored (no per-step
+        # renormalize pass) — must be numerically identical
+        _, reco_pln = contrastive.compute_contra_memobank_loss(
+            key, *args, memobank=bank0,
+            infonce_fn=make_infonce_fn(use_pallas=True, tile=64,
+                                       interpret=True, bank_normalized=True),
+            **kwargs)
+        np.testing.assert_allclose(float(reco_pln), float(reco_xla),
                                    rtol=1e-4)

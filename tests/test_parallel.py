@@ -129,5 +129,56 @@ class TestMesh:
 
         losses_s, leaf_s = run(True)
         losses_r, leaf_r = run(False)
-        np.testing.assert_allclose(losses_s, losses_r, rtol=1e-4)
-        np.testing.assert_allclose(leaf_s, leaf_r, rtol=1e-4, atol=1e-6)
+        # Tolerances: the FIRST step agrees to ~5e-7 relative (pure psum /
+        # reduction-order f32 noise — measured on this host); over 50
+        # training steps that rounding noise is amplified multiplicatively
+        # by the optimizer dynamics (measured ~1e-4 by step 5, ~2e-3 by
+        # step 50, host-codegen dependent). The semantic invariant is
+        # step-level equality — pinned tightly by
+        # test_arco_first_step_sharded_bitclose below — while this check
+        # pins trajectory-level consistency, not bitwise tracking.
+        np.testing.assert_allclose(losses_s, losses_r, rtol=1e-2)
+        np.testing.assert_allclose(leaf_s, leaf_r, rtol=1e-2, atol=1e-4)
+
+    def test_arco_first_step_sharded_bitclose(self, mesh):
+        """ONE full ARCO step sharded vs replicated: every scalar metric
+        must agree to f32 reduction-order tolerance. A real collective /
+        sharding bug (wrong axis, missing psum, halo off-by-one) shows up
+        here at percent scale; rounding noise sits at ~1e-6."""
+        from arco_tpu.config import ArcoConfig
+        from arco_tpu.models import net_factory
+        from arco_tpu.train.arco2d import (init_arco_state,
+                                           make_arco_modules,
+                                           make_arco_step)
+        from arco_tpu.train.schedule import make_optimizer
+
+        b, hw, k = 8, 32, 3
+        cfg = ArcoConfig(K=b, num_queries=16, num_negatives=8,
+                         memobank_size=64, memobank_size_bg=64,
+                         memobank_enqueue=16, topk=2)
+        model = net_factory("unet", in_chns=1, class_num=k)
+        modules = make_arco_modules(model, hw, hw, batch_size=b)
+        tx = make_optimizer(0.01, 10)
+        rng = np.random.RandomState(0)
+        label = rng.randint(0, k, size=(b, hw, hw)).astype(np.int32)
+        image = (label[..., None].astype(np.float32) / (k - 1)
+                 + 0.05 * rng.randn(b, hw, hw, 1).astype(np.float32))
+        batch = {"image_l": jnp.asarray(image), "label_l": jnp.asarray(label),
+                 "image_u": jnp.asarray(image)}
+
+        def one(shard):
+            state = init_arco_state(jax.random.PRNGKey(0), modules, cfg,
+                                    (b, hw, hw, 1), tx)
+            step = make_arco_step(modules, cfg, tx, num_classes=k,
+                                  max_iterations=10)
+            bt = shard_batch(batch, mesh) if shard else batch
+            if shard:
+                state = jax.device_put(state, replicate_sharding(mesh))
+            _, m = step(state, bt)
+            return {kk: float(v) for kk, v in m.items()
+                    if getattr(v, "ndim", 0) == 0}
+
+        ms, mr = one(True), one(False)
+        for kk in mr:
+            np.testing.assert_allclose(ms[kk], mr[kk], rtol=5e-5, atol=1e-7,
+                                       err_msg=f"metric {kk}")

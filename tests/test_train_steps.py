@@ -147,3 +147,26 @@ class TestArcoStep:
         # second step re-uses the compiled program and keeps finiteness
         state, metrics = step(state, batch)
         assert np.isfinite(float(metrics["loss"]))
+
+    def test_full_step_pallas_infonce(self, rng):
+        """--arco.infonce_impl pallas drives the fused streaming kernel
+        inside the product step (interpret mode off-TPU); trains and stays
+        finite with the bank_normalized fast path the trainer wires."""
+        cfg = ArcoConfig(K=4, num_queries=16, num_negatives=8,
+                         memobank_size=128, memobank_size_bg=256,
+                         memobank_enqueue=32, topk=2,
+                         infonce_impl="pallas", pallas_tile=64)
+        model = net_factory("unet", in_chns=1, class_num=K)
+        modules = make_arco_modules(model, HW, HW, batch_size=B)
+        tx = make_optimizer(0.01, 100)
+        state = init_arco_state(jax.random.PRNGKey(0), modules, cfg,
+                                (B, HW, HW, 1), tx)
+        step = make_arco_step(modules, cfg, tx, num_classes=K,
+                              max_iterations=100)
+        b = synthetic_batch(rng)
+        batch = {"image_l": b["image"], "label_l": b["label"],
+                 "image_u": synthetic_batch(np.random.RandomState(7))["image"]}
+        state, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+        assert np.isfinite(float(metrics["reco_loss"]))
+        assert int(np.asarray(state.memobank.count).sum()) > 0
