@@ -55,6 +55,10 @@ def default_3d_config() -> TrainConfig:
     # (433 ms with the eqv forward off). Re-enable with --arco.remat true
     # if a bigger batch/patch OOMs. Loss-equivalence: tests/test_remat.py.
     cfg.arco.remat = False
+    # the 3D reference seeds each class bank with a RANDN row
+    # (train_arco_3d.py:149) — on 2-class LA it is the only negative the
+    # whole run (losses.contrastive.create_memobank)
+    cfg.arco.memobank_init = "randn"
     return cfg
 
 

@@ -162,26 +162,88 @@ def convert_vnet_state_dict(sd: Dict) -> Tuple[Dict, Dict]:
     return to_jnp(params), to_jnp(stats)
 
 
-def convert_feature_extractor_state_dict(sd: Dict) -> Dict:
-    """Reference FeatureExtractor (model_2D.py:20-56: five bias-free 1x1
-    Conv2d 'fea0'..'fea4') -> params for arco_tpu.models.heads
-    .FeatureExtractor (same tree: fea{i}/kernel)."""
-    sd = {k: v.cpu().numpy() if hasattr(v, "cpu") else np.asarray(v)
-          for k, v in sd.items()}
+def _np_sd(sd: Dict) -> Dict:
+    return {k: v.cpu().numpy() if hasattr(v, "cpu") else np.asarray(v)
+            for k, v in sd.items()}
+
+
+def _nd_conv_kernel(w):
+    """torch ConvNd weight [O, I, *k] -> flax [*k, I, O], any rank."""
     import jax.numpy as jnp
-    return {f"fea{i}": {"kernel": jnp.asarray(
-        np.asarray(sd[f"fea{i}.weight"]).transpose(2, 3, 1, 0))}
-        for i in range(5)}
+    w = np.asarray(w)
+    nd = w.ndim - 2
+    return jnp.asarray(w.transpose(tuple(range(2, 2 + nd)) + (1, 0)))
+
+
+def _dense(sd, prefix):
+    """torch Linear [O, I] (+bias) -> flax Dense {kernel [I, O], bias}."""
+    import jax.numpy as jnp
+    return {"kernel": jnp.asarray(np.asarray(sd[f"{prefix}.weight"]).T),
+            "bias": jnp.asarray(np.asarray(sd[f"{prefix}.bias"]))}
+
+
+def convert_feature_extractor_state_dict(sd: Dict) -> Dict:
+    """Reference FeatureExtractor / FeatureExtractor_3d (model_2D.py:20-56,
+    model_3D.py:20-63: five bias-free 1x1 ConvNd 'fea0'..'fea4') -> params
+    for arco_tpu.models.heads.FeatureExtractor (same tree: fea{i}/kernel).
+    Rank-generic: the kernel transpose adapts to Conv2d/Conv3d weights."""
+    sd = _np_sd(sd)
+    return {f"fea{i}": {"kernel": _nd_conv_kernel(sd[f"fea{i}.weight"])}
+            for i in range(5)}
 
 
 def convert_q_representation_state_dict(sd: Dict) -> Dict:
-    """Reference q_representation (train_arco_2d.py:231-235: Sequential of
-    two bias-free 1x1 Conv2d) -> params for heads.QRepresentation."""
-    sd = {k: v.cpu().numpy() if hasattr(v, "cpu") else np.asarray(v)
-          for k, v in sd.items()}
+    """Reference q_representation (train_arco_2d.py:231-235 /
+    train_arco_3d.py:208-211: Sequential of two bias-free 1x1 ConvNd) ->
+    params for heads.QRepresentation."""
+    sd = _np_sd(sd)
+    return {f"Conv_{i}": {"kernel": _nd_conv_kernel(sd[f"{i}.weight"])}
+            for i in range(2)}
+
+
+def convert_latent_mlp_state_dict(sd: Dict, pooling_size: int = 1) -> Dict:
+    """Reference MLP / MLP_3d (model_2D.py:98-112, model_3D.py:202-216:
+    AdaptiveAvgPool(pooling) + f1/f2 Linear) -> params for heads.LatentMLP.
+
+    Only pooling_size=1 flattens identically on both sides (torch flattens
+    channel-major, flax channels-last spatial-major); the published recipes
+    all use latent_pooling_size=1 (train_arco_2d.py:62)."""
+    assert pooling_size == 1, "flatten order differs for pooling_size > 1"
+    sd = _np_sd(sd)
+    return {"Dense_0": _dense(sd, "f1"), "Dense_1": _dense(sd, "f2")}
+
+
+def convert_latent_predictor_state_dict(sd: Dict) -> Dict:
+    """Reference latent_predictor (model_2D.py:146-151: Sequential of two
+    Linear) -> params for heads.LatentPredictor."""
+    sd = _np_sd(sd)
+    return {"Dense_0": _dense(sd, "0"), "Dense_1": _dense(sd, "1")}
+
+
+def convert_projection_head_state_dict(sd: Dict) -> Dict:
+    """Reference ProjectionHead / ProjectionHead_3d convmlp
+    (model_2D.py:67-92, model_3D.py:143-161: AdaptiveAvgPool + ConvNd
+    dim_in->2*dim_in + ConvNd 2*dim_in->proj_dim, keys proj.1/proj.2) ->
+    params for heads.ProjectionHead."""
     import jax.numpy as jnp
-    return {f"Conv_{i}": {"kernel": jnp.asarray(
-        np.asarray(sd[f"{i}.weight"]).transpose(2, 3, 1, 0))}
+    sd = _np_sd(sd)
+    out = {}
+    for j, key in enumerate(("proj.1", "proj.2")):
+        out[f"Conv_{j}"] = {
+            "kernel": _nd_conv_kernel(sd[f"{key}.weight"]),
+            "bias": jnp.asarray(np.asarray(sd[f"{key}.bias"]))}
+    return out
+
+
+def convert_outputs_predictor_state_dict(sd: Dict) -> Dict:
+    """Reference outputs_predictor (model_2D.py:157-160 / model_3D.py:250-253:
+    Sequential of two 1x1 ConvNd with bias) -> params for
+    heads.OutputsPredictor."""
+    import jax.numpy as jnp
+    sd = _np_sd(sd)
+    return {f"Conv_{i}": {
+        "kernel": _nd_conv_kernel(sd[f"{i}.weight"]),
+        "bias": jnp.asarray(np.asarray(sd[f"{i}.bias"]))}
         for i in range(2)}
 
 

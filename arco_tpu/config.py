@@ -121,6 +121,23 @@ class ArcoConfig:
     # max teacher keys enqueued per class per step (static-shape rebuild knob;
     # the reference enqueues a variable number — see losses/contrastive.py)
     memobank_enqueue: int = 256
+    # per-class bank init row: 'zeros' (train_arco_2d.py:152) or 'randn'
+    # (train_arco_3d.py:149) — the row is every negative until real keys
+    # arrive, and on 2-class LA it stays so for the whole run (the
+    # degenerate-reco quirk; see losses.contrastive.create_memobank)
+    memobank_init: str = "zeros"
+    # --- trajectory-parity ablation knobs (VERDICT r3 item 3): re-add the
+    # reference's intentional-delta behaviors one at a time to attribute the
+    # rebuild's Dice dominance at matched budgets ---
+    # re-add the dead 6th student forward on the labeled batch
+    # (train_arco_2d.py:311 model(images_cj2_l): its outputs are unused, but
+    # in train mode it advances BatchNorm running statistics — NOT dead for
+    # eval, which runs on running stats)
+    dead_forward: bool = False
+    # quantize augmented images/logits to uint8 granularity, replicating the
+    # reference's PIL round-trip (augment.py:255-281 tensor->PIL->tensor:
+    # every augmented image and confidence map is floor-quantized to 1/255)
+    quantize_augs: bool = False
     # InfoNCE kernel: 'xla' = one bank matmul + logit gather
     # (losses.contrastive.sampled_infonce), 'pallas' = the fully-streaming
     # fused kernel (ops.pallas.infonce, custom-VJP, no [Q,cap] logits

@@ -58,35 +58,59 @@ class MemoBank(NamedTuple):
 
 
 def create_memobank(num_classes: int, feat: int, capacity: int = 30000,
-                    capacity_bg: int = 50000, dtype=jnp.float32) -> MemoBank:
+                    capacity_bg: int = 50000, dtype=jnp.float32,
+                    init: str = "zeros", init_key=None) -> MemoBank:
+    """The reference seeds each class FIFO with ONE init row — zeros in the
+    2D trainer (train_arco_2d.py:152), RANDN in the 3D trainer
+    (train_arco_3d.py:149) — which serves as every negative until real keys
+    arrive. This matters: on 2-class LA the negative mask is provably empty
+    for the whole run (rank window [3,20) unreachable; labeled rows need
+    onehot_i AND label==0 — contradiction), so the reference's reco there is
+    the degenerate-but-nonzero CE against 512 copies of that one random row
+    (r4 finding — r3 wrongly believed reco ≡ 0 on LA; the empty-bank skip
+    at loss_helper.py:592-595 never fires because shape[0] == 1 > 0).
+
+    The init row sits at slot 0 with ptr=1/count=1: it persists until the
+    ring wraps, mirroring the reference FIFO keeping it until overflow.
+    Rows are stored L2-normalized (zeros row stays zeros under the eps-
+    guarded normalize — cosine 0, exactly torch.cosine_similarity vs 0)."""
     caps = tuple([capacity_bg] + [capacity] * (num_classes - 1))
     max_cap = max(caps)
+    data = jnp.zeros((num_classes, max_cap, feat), dtype)
+    if init == "randn":
+        row = jax.random.normal(
+            init_key if init_key is not None else jax.random.PRNGKey(0),
+            (num_classes, feat), jnp.float32)
+        data = data.at[:, 0].set(_l2_normalize(row).astype(dtype))
+    elif init != "zeros":
+        raise ValueError(f"unknown memobank init {init!r}")
     return MemoBank(
-        data=jnp.zeros((num_classes, max_cap, feat), dtype),
-        ptr=jnp.zeros((num_classes,), jnp.int32),
-        count=jnp.zeros((num_classes,), jnp.int32),
+        data=data,
+        ptr=jnp.ones((num_classes,), jnp.int32),
+        count=jnp.ones((num_classes,), jnp.int32),
         capacities=caps)
 
 
-def _bank_enqueue(bank: MemoBank, cls: int, keys: jnp.ndarray, enable):
-    """Enqueue [B, feat] keys into class ``cls`` with wraparound at the
-    class's own capacity; no-op when ``enable`` is False.
+def _bank_enqueue_all(bank: MemoBank, keys: jnp.ndarray, enable):
+    """Enqueue [K, B, feat] keys — B per class — in ONE scatter.
 
-    Implemented with lax.cond so the untaken branch costs nothing — a
-    jnp.where over the scattered bank would materialize two full copies of
-    the (large) bank array per class per step."""
-    cap = bank.capacities[cls]
-    b = keys.shape[0]
-
-    def write(operand):
-        data, ptr, count = operand
-        idx = (ptr[cls] + jnp.arange(b, dtype=jnp.int32)) % cap
-        return (data.at[cls, idx].set(keys.astype(data.dtype)),
-                ptr.at[cls].set((ptr[cls] + b) % cap),
-                count.at[cls].set(jnp.minimum(count[cls] + b, cap)))
-
-    data, ptr, count = jax.lax.cond(
-        enable, write, lambda o: o, (bank.data, bank.ptr, bank.count))
+    ``enable`` is a [K] bool; a disabled class's writes are routed to an
+    out-of-range row index and dropped by the scatter (mode='drop'), so the
+    whole update is a single in-place scatter on the donated bank buffer.
+    The earlier per-class lax.cond design threaded the full [K, cap, feat]
+    array through K sequential conditionals — measured as 4x ~600 MB
+    aliased control-flow edges per step (scripts/hbm_traffic.py, r4)."""
+    k, b = keys.shape[0], keys.shape[1]
+    caps = jnp.asarray(bank.capacities, jnp.int32)           # [K]
+    max_cap = bank.data.shape[1]
+    slot = (bank.ptr[:, None]
+            + jnp.arange(b, dtype=jnp.int32)[None, :]) % caps[:, None]
+    slot = jnp.where(enable[:, None], slot, max_cap)         # OOB -> dropped
+    cls_idx = jnp.arange(k, dtype=jnp.int32)[:, None]
+    data = bank.data.at[cls_idx, slot].set(keys.astype(bank.data.dtype),
+                                           mode="drop")
+    ptr = jnp.where(enable, (bank.ptr + b) % caps, bank.ptr)
+    count = jnp.where(enable, jnp.minimum(bank.count + b, caps), bank.count)
     return bank._replace(data=data, ptr=ptr, count=count)
 
 
@@ -172,86 +196,88 @@ def compute_contra_memobank_loss(
 
     lab = is_labeled.reshape((b,) + (1,) * (rep.ndim - 2)).astype(bool)
 
+    # ---- every per-class quantity batched over the class axis (r4: the
+    # earlier per-class Python loop issued K sequential bank conditionals
+    # + 2K full-rep gathers + K bank matmuls; measured in
+    # scripts/hbm_traffic.py as the step's dominant non-model movers) ----
+
+    onehot_all = label_onehot_all > 0                       # [B,*S,K]
+    low_valid_all = onehot_all & (low_mask > 0)[..., None]
+    high_valid_all = onehot_all & (high_mask > 0)[..., None]
+    anchor_mask = (prob_all > current_class_threshold) & low_valid_all
+    high_entropy_mask = (prob_all < delta_n) & high_valid_all
+
+    # class mask (loss_helper_3d.py:384-397): unlabeled pixels whose class-i
+    # rank is in [low_rank, high_rank); labeled pixels whose rank < low_rank
+    # AND whose label is not class i.
+    cm_u = ((rank_all >= low_rank) & (rank_all < high_rank)
+            & (~lab)[..., None])
+    cm_l = (rank_all < low_rank) & (label_l_onehot == 0) & lab[..., None]
+    negative_mask = high_entropy_mask & (cm_u | cm_l)       # [B,*S,K]
+
     # all-class prototypes in ONE pass over the (large) teacher reps:
     # proto_k = sum_n rep_t[n] * low_valid[n, k] / count_k
-    low_valid_all = ((label_onehot_all > 0)
-                     & (low_mask > 0)[..., None]).reshape(-1, num_classes)
-    n_low_all = jnp.sum(low_valid_all.astype(jnp.int32), axis=0)  # [K]
+    low_valid_flat = low_valid_all.reshape(-1, num_classes)
+    n_low_all = jnp.sum(low_valid_flat.astype(jnp.int32), axis=0)   # [K]
     protos_all = jnp.einsum(
         "nc,nk->kc", rep_t_flat.astype(jnp.float32),
-        low_valid_all.astype(jnp.float32),
+        low_valid_flat.astype(jnp.float32),
         precision=jax.lax.Precision.DEFAULT)
     protos_all = protos_all / jnp.maximum(n_low_all, 1)[:, None]
 
-    losses, valids, has_anchor = [], [], []
-    new_bank = memobank
-    for i in range(num_classes):
-        rng, k_anchor, k_neg, k_enq = jax.random.split(rng, 4)
-        onehot_i = label_onehot_all[..., i] > 0
-        low_valid = onehot_i & (low_mask > 0)
-        high_valid = onehot_i & (high_mask > 0)
-        prob_i = prob_all[..., i]
+    k_anchor, k_neg, k_enq = jax.random.split(rng, 3)
+    ks_anchor = jax.random.split(k_anchor, num_classes)
+    ks_neg = jax.random.split(k_neg, num_classes)
+    ks_enq = jax.random.split(k_enq, num_classes)
 
-        anchor_mask = (prob_i > current_class_threshold) & low_valid
-        high_entropy_mask = (prob_i < delta_n) & high_valid
+    # enqueue a stratified sample of this step's negatives per class, stored
+    # L2-NORMALIZED so the loss never has to re-normalize the bank (the
+    # reference normalizes raw keys at use time inside cosine_similarity,
+    # loss_helper_3d.py:503 — same math). One batched gather + one scatter.
+    neg_flat = negative_mask.reshape(-1, num_classes).T     # [K, M]
+    enq_idx, n_neg_pix = jax.vmap(
+        lambda k, m: sampling.sample_from_mask(k, m, enqueue_per_class,
+                                               func="smc"))(ks_enq, neg_flat)
+    keys = _l2_normalize(rep_t_flat[enq_idx])               # [K, enq, C]
+    new_bank = _bank_enqueue_all(memobank, keys, enable=n_neg_pix > 0)
 
-        # class mask (loss_helper_3d.py:384-397): unlabeled pixels whose
-        # class-i rank is in [low_rank, high_rank); labeled pixels whose
-        # rank < low_rank AND whose label is not class i.
-        rank_i = rank_all[..., i]
-        cm_u = (rank_i >= low_rank) & (rank_i < high_rank) & (~lab)
-        cm_l = (rank_i < low_rank) & (label_l_onehot[..., i] == 0) & lab
-        negative_mask = high_entropy_mask & (cm_u | cm_l)
+    # anchors (stratified over each class's valid-pixel sequence)
+    anchor_flat = anchor_mask.reshape(-1, num_classes).T    # [K, M]
+    a_idx, n_anchor = jax.vmap(
+        lambda k, m: sampling.sample_from_mask(k, m, num_queries,
+                                               func=func))(ks_anchor,
+                                                           anchor_flat)
+    anchor_feat = rep_flat[a_idx]                           # [K, Q, C]
 
-        # class prototype from teacher features over low-valid pixels
-        # (precomputed for all classes in one pass above)
-        n_low = n_low_all[i]
-        proto = protos_all[i]
+    # negatives from the bank. No random shuffle (a device sort); the
+    # transposed reshape deals every query a strided subset of strata, so
+    # each row still spans the bank's full rank space like the reference's
+    # shuffled draw does.
+    bank_count = new_bank.count                             # [K]
+    neg_ranks = jax.vmap(
+        lambda k, n: sampling.draw_indices(k, n,
+                                           num_queries * num_negatives,
+                                           func=func,
+                                           shuffle=False))(ks_neg, bank_count)
+    neg_idx = jnp.swapaxes(
+        neg_ranks.reshape(num_classes, num_negatives, num_queries), 1, 2)
 
-        # enqueue a stratified sample of this step's negatives, stored
-        # L2-NORMALIZED so the loss never has to re-normalize the bank
-        # (the reference normalizes raw keys at use time inside
-        # cosine_similarity, loss_helper_3d.py:503 — same math)
-        neg_flat = negative_mask.reshape(-1)
-        enq_idx, n_neg_pix = sampling.sample_from_mask(
-            k_enq, neg_flat, enqueue_per_class, func="smc")
-        keys = _l2_normalize(rep_t_flat[enq_idx])
-        new_bank = _bank_enqueue(new_bank, i, keys, enable=n_neg_pix > 0)
+    if infonce is sampled_infonce:
+        losses = jax.vmap(
+            lambda a, p, bk, ni: infonce(a, p, bk, ni, temp,
+                                         bank_normalized=True)
+        )(anchor_feat, protos_all, new_bank.data, neg_idx)  # [K]
+    else:
+        # custom kernels (the Pallas path) contract: bank rows carry no
+        # gradient — true here by construction (teacher keys), made
+        # explicit so the zero-cotangent VJP is provably correct
+        bank_sg = jax.lax.stop_gradient(new_bank.data)
+        losses = jax.vmap(
+            lambda a, p, bk, ni: infonce(a, p, bk, ni, temp)
+        )(anchor_feat, protos_all, bank_sg, neg_idx)
 
-        # anchors (stratified over the valid-pixel sequence)
-        anchor_flat = anchor_mask.reshape(-1)
-        a_idx, n_anchor = sampling.sample_from_mask(
-            k_anchor, anchor_flat, num_queries, func=func)
-        anchor_feat = rep_flat[a_idx]
-
-        # negatives from the bank. No random shuffle (a device sort); the
-        # transposed reshape deals every query a strided subset of strata,
-        # so each row still spans the bank's full rank space like the
-        # reference's shuffled draw does.
-        bank_count = new_bank.count[i]
-        neg_ranks = sampling.draw_indices(
-            k_neg, bank_count, num_queries * num_negatives, func=func,
-            shuffle=False)
-        neg_idx = neg_ranks.reshape(num_negatives, num_queries).T
-
-        if infonce is sampled_infonce:
-            loss_i = infonce(anchor_feat, proto, new_bank.data[i], neg_idx,
-                             temp, bank_normalized=True)
-        else:
-            # custom kernels (the Pallas path) contract: bank rows carry no
-            # gradient — true here by construction (teacher keys), made
-            # explicit so the zero-cotangent VJP is provably correct
-            loss_i = infonce(anchor_feat, proto,
-                             jax.lax.stop_gradient(new_bank.data[i]),
-                             neg_idx, temp)
-
-        valids.append(n_low > 0)
-        has_anchor.append((n_anchor > 0) & (bank_count > 0))
-        losses.append(loss_i)
-
-    losses = jnp.stack(losses)
-    valid_v = jnp.stack(valids)
-    contrib = jnp.stack(has_anchor) & valid_v
+    valid_v = n_low_all > 0
+    contrib = (n_anchor > 0) & (bank_count > 0) & valid_v
     valid_seg = jnp.sum(valid_v.astype(jnp.float32))
     total = jnp.sum(losses * contrib.astype(jnp.float32))
     # <2 valid classes -> 0 (loss_helper_3d.py:417-425)

@@ -193,10 +193,12 @@ def _build_arco_state(rng, model_params, model_batch_stats, *, modules,
     pool = jax.random.normal(k_pool, (cfg.K,) + pool_row_shape, jnp.float32)
     pool = normalize.l2_normalize(pool, normalize.feature_axes(pool))
 
+    k_bank = jax.random.fold_in(k_pool, 1)
     memobank = create_memobank(
         num_classes=_num_classes_of(modules.model), feat=fused.shape[-1],
         capacity=cfg.memobank_size, capacity_bg=cfg.memobank_size_bg,
-        dtype=fused.dtype)
+        dtype=fused.dtype, init=getattr(cfg, "memobank_init", "zeros"),
+        init_key=k_bank)
 
     return ArcoState(
         params=params, batch_stats={"model": bs_model},

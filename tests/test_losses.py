@@ -181,17 +181,21 @@ class TestContrastive:
             current_class_threshold=0.0)
         assert float(loss) == 0.0
 
-    def test_two_class_default_ranks_reco_zero(self):
+    def test_two_class_default_ranks_degenerate_reco(self):
         """With num_classes=2 and the reference's hardcoded low_rank=3 /
         high_rank=20 (loss_helper_3d.py:319), the negative mask is provably
-        empty: unlabeled pixels need class rank in [3, 20) (impossible with 2
-        classes, prob_indices[..., 3:20] is an empty slice), and labeled
-        pixels need onehot_i > 0 AND label_l[..., i] == 0 simultaneously
-        (contradiction). The reference's memobank therefore never fills on
-        LA (2-class) and its reco_loss is identically 0 (the empty-bank
-        branch adds 0 * rep.sum(), loss_helper_3d.py:437-461). This test
-        pins our implementation to that exact behavior — the 3D trainer's
-        `reco: 0.000000` log line is parity, not a bug."""
+        empty: unlabeled pixels need class rank in [3, 20) (impossible with
+        2 classes), and labeled pixels need onehot_i > 0 AND
+        label_l[..., i] == 0 simultaneously (contradiction). The banks
+        therefore never fill on LA (2-class) — BUT the reference's reco is
+        NOT zero: each bank holds its single init row (zeros in 2D,
+        train_arco_2d.py:152; randn in 3D, train_arco_3d.py:149), the
+        `shape[0] > 0` guard passes (loss_helper.py:592-595 never fires),
+        and the loss is the degenerate CE of the anchors against that one
+        row repeated as all negatives. (Round 3 pinned reco ≡ 0 here —
+        wrong; corrected round 4, proven on the reference's own 5-D code in
+        tests/test_reference_parity_3d.py.) With the zeros init row the
+        value is analytic: every negative logit is exactly 0."""
         rng = np.random.RandomState(7)
         b, hw, k, c = 4, 16, 2, 32
         rep = rng.randn(b, hw, hw, c).astype(np.float32)
@@ -204,6 +208,7 @@ class TestContrastive:
         label_l = onehot * is_lab[:, None, None, None]
         low = np.ones((b, hw, hw), np.float32)
         high = np.ones((b, hw, hw), np.float32)
+        num_q, num_n, temp = 32, 16, 0.5
         bank = contrastive.create_memobank(k, c, capacity=512,
                                            capacity_bg=1024)
         rank = contrastive.descending_rank(jnp.array(prob))
@@ -211,10 +216,18 @@ class TestContrastive:
             jax.random.PRNGKey(0), jnp.array(rep), jnp.array(onehot),
             jnp.array(prob), rank, jnp.array(is_lab), jnp.array(label_l),
             jnp.array(low), jnp.array(high), jnp.array(rep_t), bank,
-            num_queries=32, num_negatives=16, enqueue_per_class=64,
-            low_rank=3, high_rank=20, current_class_threshold=0.3)
-        assert float(loss) == 0.0
-        assert int(new_bank.count.max()) == 0
+            num_queries=num_q, num_negatives=num_n, temp=temp,
+            enqueue_per_class=64, low_rank=3, high_rank=20,
+            current_class_threshold=0.3)
+        # nothing enqueued beyond the init row
+        assert int(new_bank.count.max()) == 1
+        assert float(loss) > 0.0
+        # analytic check: negatives are all the zeros row -> logit 0; the
+        # positive logit is cos(anchor, proto)/temp for the sampled anchors.
+        # Upper/lower bound the CE by the extreme cosines (+-1/temp).
+        hi = float(np.log(np.exp(-1 / temp) + num_n) + 1 / temp)
+        lo = float(np.log(np.exp(1 / temp) + num_n) - 1 / temp)
+        assert lo <= float(loss) <= hi
 
     def test_descending_rank_matches_torch_sort(self, rng):
         prob = rng.rand(2, 4, 4, 6).astype(np.float32)
