@@ -29,6 +29,8 @@ def build_parser():
     p.add_argument("--dataset", type=str, default="pascal",
                    choices=["pascal", "cityscapes"])
     p.add_argument("--model", type=str, default="unet")
+    p.add_argument("--backbone", type=str, default="resnet101",
+                   choices=["resnet50", "resnet101"])
     p.add_argument("--label_num", type=int, default=5)
     p.add_argument("--snapshot_dir", type=str, default="../model")
     p.add_argument("--exp", type=str, default="natural/arco")
@@ -54,7 +56,12 @@ def main(argv=None):
         raise SystemExit(f"no checkpoint under {snapshot}")
     params, stats = ckpt.load_model_params(snapshot, step, None, None)
 
-    model = net_factory(args.model, in_chns=3, class_num=num_classes)
+    if args.model.startswith("deeplab"):
+        from arco_tpu.models.deeplab import model_generator
+        model = model_generator(args.model, args.backbone,
+                                num_classes=num_classes)
+    else:
+        model = net_factory(args.model, in_chns=3, class_num=num_classes)
 
     @jax.jit
     def predict(x):

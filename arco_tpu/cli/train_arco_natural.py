@@ -1,14 +1,22 @@
 """ARCO training on natural images (Cityscapes / Pascal VOC).
 
 The reference ships the Cityscapes/Pascal data plumbing
-(dataset/build_dataset.py) and DeepLab models but no natural-image trainer
-in this snapshot (SURVEY §0); this entry point closes that gap by running
-the same rank-generic ARCO step over the natural-image pipeline with a
-3-channel U-Net backbone (DeepLab can be slotted in once its feature
-pyramid adapter lands).
+(dataset/build_dataset.py) and the DeepLab family (models/deeplab.py,
+models/deeplabv3/, models/model_factory.py:19-61) but no natural-image
+trainer in this snapshot (SURVEY §0); this entry point closes that gap by
+running the same rank-generic ARCO step over the natural-image pipeline
+with either a 3-channel U-Net or the reference's DeepLab models:
 
     python -m arco_tpu.cli.train_arco_natural --root_path ../data/pascal \
-        --dataset pascal --label_num 5
+        --dataset pascal --label_num 5 \
+        --model deeplabv2 --backbone resnet101 \
+        [--restore_from /path/to/resnet101-caffe.pth]
+
+--restore_from takes a LOCAL torch checkpoint (the reference downloads its
+caffe-pretrained trunks from URLs, model_factory.py:13-16 — unreachable
+here) and applies the same partial-copy semantics (only name+shape matches
+are taken). DeepLab-v2 trunk BatchNorms are frozen exactly like the
+reference (deeplab.py:90-103; train/freeze.apply_deeplab_bn_freeze).
 """
 
 from __future__ import annotations
@@ -43,6 +51,13 @@ def build_parser():
     p.add_argument("--dataset", type=str, default="pascal",
                    choices=["pascal", "cityscapes"])
     p.add_argument("--label_num", type=int, default=5)
+    p.add_argument("--model", type=str, default="unet",
+                   choices=["unet", "deeplabv2", "deeplabv3"])
+    p.add_argument("--backbone", type=str, default="resnet101",
+                   choices=["resnet50", "resnet101"])
+    p.add_argument("--restore_from", type=str, default=None,
+                   help="local torch checkpoint for the DeepLab trunk "
+                        "(partial copy, model_factory.py:55-60 semantics)")
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--max_iterations", type=int, default=40000)
     p.add_argument("--base_lr", type=float, default=0.01)
@@ -71,7 +86,7 @@ def main(argv=None):
 
     snapshot_path = os.path.join(args.snapshot_dir,
                                  f"{args.exp}_{args.label_num}_labeled",
-                                 "unet")
+                                 args.model)
     os.makedirs(snapshot_path, exist_ok=True)
     # force=True: the axon plugin pre-configures root handlers,
     # which would otherwise make this a silent no-op (no log.txt)
@@ -102,15 +117,53 @@ def main(argv=None):
         overrides[k] = (v.lower() in ("1", "true", "yes")
                         if isinstance(cur, bool) else type(cur)(v))
     cfg = ArcoConfig(apply_aug=args.apply_aug, **overrides)
-    model = net_factory("unet", in_chns=3, class_num=num_classes,
-                        dtype=jnp.bfloat16)
+    dtype = jnp.bfloat16
+    if args.model == "unet":
+        model = net_factory("unet", in_chns=3, class_num=num_classes,
+                            dtype=dtype)
+        fea_channels, fused_dim = (256, 128, 64, 32, 16), None
+    else:
+        from arco_tpu.models.deeplab import (deeplab_feature_channels,
+                                             model_generator)
+        model = model_generator(args.model, args.backbone,
+                                num_classes=num_classes, dtype=dtype)
+        # fuse the four ResNet stage maps to a 256-ch representation (the
+        # reference has no natural trainer; 256 matches DeepLabv3Plus's own
+        # representation width, deeplabv3.py:46-51)
+        fea_channels = deeplab_feature_channels(args.model, args.backbone)
+        fused_dim = 256
     modules = make_arco_modules(model, crop[1], crop[0],
                                 batch_size=args.batch_size,
-                                dtype=jnp.bfloat16)
+                                feature_channels=fea_channels,
+                                fused_dim=fused_dim, dtype=dtype)
     tx = make_optimizer(args.base_lr, args.max_iterations)
+
+    model_params = model_batch_stats = None
+    if args.restore_from:
+        import torch
+        from arco_tpu.compat.torch_import import (convert_deeplab_state_dict,
+                                                  merge_params)
+        layers = (3, 4, 23, 3) if "101" in args.backbone else (3, 4, 6, 3)
+        sd = torch.load(args.restore_from, map_location="cpu")
+        sd = {k.replace("module.", ""): v for k, v in sd.items()}
+        imp_params, imp_stats = convert_deeplab_state_dict(sd, layers)
+        # init once to get the full tree, then overlay the matching leaves
+        init0 = init_arco_state(jax.random.PRNGKey(args.seed), modules, cfg,
+                                (args.batch_size,) + crop + (3,), tx)
+        model_params = merge_params(init0.params["model"], imp_params)
+        model_batch_stats = merge_params(init0.batch_stats["model"],
+                                         imp_stats)
+        logging.info("restored DeepLab trunk from %s", args.restore_from)
+
     state = init_arco_state(
         jax.random.PRNGKey(args.seed), modules, cfg,
-        (args.batch_size,) + crop + (3,), tx)
+        (args.batch_size,) + crop + (3,), tx,
+        model_params=model_params, model_batch_stats=model_batch_stats)
+    if args.model == "deeplabv2":
+        # the reference freezes every trunk BatchNorm (deeplab.py:90-103)
+        from arco_tpu.train.freeze import apply_deeplab_bn_freeze
+        tx = apply_deeplab_bn_freeze(tx, state.params)
+        state = state._replace(opt_state=tx.init(state.params))
     step_fn = make_arco_step(modules, cfg, tx, num_classes,
                              args.max_iterations)
 

@@ -247,6 +247,83 @@ def convert_outputs_predictor_state_dict(sd: Dict) -> Dict:
         for i in range(2)}
 
 
+def convert_deeplab_state_dict(sd: Dict, layers=(3, 4, 6, 3)) -> Tuple[
+        Dict, Dict]:
+    """Reference caffe-style DeepLab-v2 ResNet (models/deeplab.py:148-260:
+    conv1/bn1, layer{1..4}.{b}.conv{1..3}+bn{1..3}(+downsample.0/.1),
+    layer5.conv2d_list.{0..3}) -> (params, batch_stats) for
+    arco_tpu.models.deeplab.DeepLabV2.
+
+    Mirrors model_factory.py:55-60's partial-copy semantics: missing keys
+    (e.g. layer5 absent from the caffe trunk checkpoints, or a classifier
+    with a different class count) are simply skipped — merge the result
+    over freshly-initialized params with ``merge_params``.
+    """
+    sd = _np_sd(sd)
+    params, stats = {}, {}
+    bb_p, bb_s = {}, {}
+
+    def put_bn(dst_p, dst_s, flax_name, prefix):
+        if f"{prefix}.weight" not in sd:
+            return False
+        p, s = _bn(sd, prefix)
+        dst_p[flax_name] = p
+        dst_s[flax_name] = s
+        return True
+
+    if "conv1.weight" in sd:
+        bb_p["Conv_0"] = _conv(sd, "conv1")
+    put_bn(bb_p, bb_s, "BatchNorm_0", "bn1")
+
+    block_idx = 0
+    for li, blocks in enumerate(layers, start=1):
+        for b in range(blocks):
+            pre = f"layer{li}.{b}"
+            if f"{pre}.conv1.weight" not in sd:
+                block_idx += 1
+                continue
+            bp, bs = {}, {}
+            for j in range(3):
+                bp[f"Conv_{j}"] = _conv(sd, f"{pre}.conv{j + 1}")
+                put_bn(bp, bs, f"BatchNorm_{j}", f"{pre}.bn{j + 1}")
+            if f"{pre}.downsample.0.weight" in sd:
+                bp["Conv_3"] = _conv(sd, f"{pre}.downsample.0")
+                put_bn(bp, bs, "BatchNorm_3", f"{pre}.downsample.1")
+            bb_p[f"Bottleneck_{block_idx}"] = bp
+            bb_s[f"Bottleneck_{block_idx}"] = bs
+            block_idx += 1
+    params["ResNetBackbone_0"] = bb_p
+    stats["ResNetBackbone_0"] = bb_s
+
+    cls = {}
+    for j in range(4):
+        if f"layer5.conv2d_list.{j}.weight" in sd:
+            cls[f"Conv_{j}"] = _conv(sd, f"layer5.conv2d_list.{j}")
+    if cls:
+        params["ClassifierModule_0"] = cls
+
+    import jax.numpy as jnp
+    to_jnp = lambda t: {k: to_jnp(v) if isinstance(v, dict)
+                        else jnp.asarray(v) for k, v in t.items()}
+    return to_jnp(params), to_jnp(stats)
+
+
+def merge_params(init: Dict, imported: Dict) -> Dict:
+    """Recursively overlay ``imported`` onto ``init`` where leaf SHAPES
+    match — the reference's caffe-like partial copy
+    (model_factory.py:55-60)."""
+    out = {}
+    for k, v in init.items():
+        if k not in imported:
+            out[k] = v
+        elif isinstance(v, dict):
+            out[k] = merge_params(v, imported[k])
+        else:
+            imp = imported[k]
+            out[k] = imp if tuple(imp.shape) == tuple(v.shape) else v
+    return out
+
+
 def load_reference_checkpoint(path: str, model: str = "unet"):
     """Load an iter_<N>.pth file and convert (requires torch)."""
     import torch

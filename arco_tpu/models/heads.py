@@ -64,29 +64,30 @@ class FeatureExtractor(nn.Module):
 
     @nn.compact
     def __call__(self, fea_list):
-        assert len(fea_list) == len(self.fea_dim) == 5
+        # level count generalized (r4): the medical zoo feeds 5 decoder
+        # maps, the natural DeepLab branch feeds its 4 ResNet stages —
+        # same cascade, n-1 residual fusers + one output projection
+        n = len(self.fea_dim)
+        assert len(fea_list) == n >= 2
         nd = fea_list[0].ndim - 2
         c = [int(d) for d in self.fea_dim]
-        d = [sum(c[:i + 1]) for i in range(5)]  # concat widths d0..d4
+        d = [sum(c[:i + 1]) for i in range(n)]  # concat widths d0..d{n-1}
 
         ones = (1,) * nd
-        k = [
-            _Kernel(ones + (c[0], c[0]), name="fea0")(),
-            _Kernel(ones + (d[1], d[1]), name="fea1")(),
-            _Kernel(ones + (d[2], d[2]), name="fea2")(),
-            _Kernel(ones + (d[3], d[3]), name="fea3")(),
-            _Kernel(ones + (d[4], self.output_dim), name="fea4")(),
-        ]
+        k = [_Kernel(ones + (c[0], c[0]), name="fea0")()]
+        for i in range(1, n - 1):
+            k.append(_Kernel(ones + (d[i], d[i]), name=f"fea{i}")())
+        k.append(_Kernel(ones + (d[n - 1], self.output_dim),
+                         name=f"fea{n - 1}")())
         K = [ki.reshape(ki.shape[-2], ki.shape[-1]).astype(jnp.float32)
              for ki in k]
-        eye = lambda n: jnp.eye(n, dtype=jnp.float32)
+        eye = lambda m: jnp.eye(m, dtype=jnp.float32)
 
         # back-substitute: B[i] maps level-i input channels -> output_dim
-        B4 = K[4][d[3]:]                      # m4 rows of fea4
-        A = K[4][:d[3]]                       # x3 -> out
-        B = [None] * 5
-        B[4] = B4
-        for i in (3, 2, 1):
+        A = K[n - 1][:d[n - 2]]               # x_{n-2} -> out
+        B = [None] * n
+        B[n - 1] = K[n - 1][d[n - 2]:]        # m_{n-1} rows of the last fea
+        for i in range(n - 2, 0, -1):
             M = (K[i] + eye(d[i])) @ A        # t_i -> out
             A, B[i] = M[:d[i - 1]], M[d[i - 1]:]
         B[0] = (K[0] + eye(c[0])) @ A
@@ -94,7 +95,7 @@ class FeatureExtractor(nn.Module):
         dot = lambda m, w: jnp.einsum(
             "...c,co->...o", m, w.astype(self.dtype))
         z = dot(fea_list[0], B[0])
-        for i in range(1, 5):
+        for i in range(1, n):
             z = resize_bilinear(z, fea_list[i].shape[1:-1],
                                 align_corners=True)
             z = z + dot(fea_list[i], B[i])

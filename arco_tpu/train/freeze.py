@@ -93,3 +93,22 @@ def apply_freeze(tx, params, train_encoder: bool, train_decoder: bool):
         for k, v in params.items()}
     return optax.multi_transform(
         {"train": tx, "freeze": optax.set_to_zero()}, labels)
+
+
+def apply_deeplab_bn_freeze(tx, params):
+    """Wrap optimizer ``tx`` so every BatchNorm scale/bias in the DeepLab-v2
+    trunk receives exactly-zero updates — the reference sets
+    requires_grad=False on every trunk BN (models/deeplab.py:90-103,
+    155-157, 176-180), so its optimizer never touches them
+    (get_1x_lr_params_NOscale, deeplab.py:219-236)."""
+    import jax
+
+    def label(path, _):
+        names = [getattr(p, "key", "") for p in path]
+        in_model = names and names[0] == "model"
+        is_bn = any(str(n).startswith("BatchNorm") for n in names)
+        return "freeze" if (in_model and is_bn) else "train"
+
+    labels = jax.tree_util.tree_map_with_path(label, params)
+    return optax.multi_transform(
+        {"train": tx, "freeze": optax.set_to_zero()}, labels)
