@@ -18,10 +18,12 @@ from flax import linen as nn
 
 
 class PReLU(nn.Module):
+    """torch nn.PReLU() default: ONE shared learnable slope (enet.py uses
+    the no-arg constructor everywhere, so num_parameters=1)."""
+
     @nn.compact
     def __call__(self, x):
-        alpha = self.param("alpha", nn.initializers.constant(0.25),
-                           (x.shape[-1],))
+        alpha = self.param("alpha", nn.initializers.constant(0.25), (1,))
         return jnp.where(x >= 0, x, alpha * x).astype(x.dtype)
 
 
@@ -59,7 +61,9 @@ class InitialBlock(nn.Module):
         main = nn.Conv(self.out_channels - x.shape[-1], (3, 3),
                        strides=(2, 2), padding="SAME", use_bias=False,
                        dtype=self.dtype)(x)
-        ext = nn.max_pool(x, (2, 2), strides=(2, 2))
+        # reference ext branch is MaxPool2d(3, stride=2, padding=1)
+        # (enet.py:50), NOT a 2x2 pool — overlapping 3x3 windows
+        ext = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         out = jnp.concatenate([main, ext], axis=-1)
         out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                            dtype=self.dtype)(out)
@@ -88,8 +92,10 @@ class RegularBottleneck(nn.Module):
                                  dtype=self.dtype)(x)))
         k = self.kernel_size
         if self.asymmetric:
-            h = bn(nn.Conv(internal, (k, 1), padding="SAME", use_bias=False,
-                           dtype=self.dtype)(h))
+            # reference ext_conv2 (enet.py:151-167): BN + activation after
+            # EACH of the (k,1) and (1,k) halves
+            h = act(self, bn(nn.Conv(internal, (k, 1), padding="SAME",
+                                     use_bias=False, dtype=self.dtype)(h)))
             h = act(self, bn(nn.Conv(internal, (1, k), padding="SAME",
                                      use_bias=False, dtype=self.dtype)(h)))
         else:
@@ -97,8 +103,9 @@ class RegularBottleneck(nn.Module):
                 internal, (k, k), padding="SAME",
                 kernel_dilation=(self.dilation, self.dilation),
                 use_bias=False, dtype=self.dtype)(h)))
-        h = bn(nn.Conv(self.channels, (1, 1), use_bias=False,
-                       dtype=self.dtype)(h))
+        # reference ext_conv3 ends in an activation too (enet.py:180-186)
+        h = act(self, bn(nn.Conv(self.channels, (1, 1), use_bias=False,
+                                 dtype=self.dtype)(h)))
         h = nn.Dropout(self.dropout_prob, deterministic=not train)(h)
         return act(self, x + h)
 
@@ -117,7 +124,9 @@ class DownsamplingBottleneck(nn.Module):
         act = _act(self.relu)
         bn = lambda h: nn.BatchNorm(use_running_average=not train,
                                     momentum=0.9, dtype=self.dtype)(h)
-        internal = self.out_channels // 4
+        # reference: internal_channels = in_channels // internal_ratio
+        # (enet.py:258)
+        internal = self.in_channels // 4
         main, onehot = max_pool_with_onehot(x)
         pad = self.out_channels - self.in_channels
         main = jnp.pad(main, ((0, 0), (0, 0), (0, 0), (0, pad)))
@@ -126,8 +135,8 @@ class DownsamplingBottleneck(nn.Module):
                                  use_bias=False, dtype=self.dtype)(x)))
         h = act(self, bn(nn.Conv(internal, (3, 3), padding="SAME",
                                  use_bias=False, dtype=self.dtype)(h)))
-        h = bn(nn.Conv(self.out_channels, (1, 1), use_bias=False,
-                       dtype=self.dtype)(h))
+        h = act(self, bn(nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                                 dtype=self.dtype)(h)))
         h = nn.Dropout(self.dropout_prob, deterministic=not train)(h)
         return act(self, main + h), onehot
 
@@ -135,6 +144,7 @@ class DownsamplingBottleneck(nn.Module):
 class UpsamplingBottleneck(nn.Module):
     """Main: 1x1 conv + max-unpool; ext: transposed conv path
     (enet.py:340-451)."""
+    in_channels: int
     out_channels: int
     dropout_prob: float = 0.0
     relu: bool = True
@@ -145,18 +155,21 @@ class UpsamplingBottleneck(nn.Module):
         act = _act(self.relu)
         bn = lambda h: nn.BatchNorm(use_running_average=not train,
                                     momentum=0.9, dtype=self.dtype)(h)
-        internal = self.out_channels // 4
+        # reference: internal_channels = in_channels // internal_ratio
+        # (enet.py:388)
+        internal = self.in_channels // 4
         main = bn(nn.Conv(self.out_channels, (1, 1), use_bias=False,
                           dtype=self.dtype)(x))
         main = max_unpool(main, onehot)
 
         h = act(self, bn(nn.Conv(internal, (1, 1), use_bias=False,
                                  dtype=self.dtype)(x)))
+        # torch ConvTranspose2d(k=2, s=2, p=0) == VALID here
         h = act(self, bn(nn.ConvTranspose(internal, (2, 2), strides=(2, 2),
-                                          use_bias=False,
+                                          padding="VALID", use_bias=False,
                                           dtype=self.dtype)(h)))
-        h = bn(nn.Conv(self.out_channels, (1, 1), use_bias=False,
-                       dtype=self.dtype)(h))
+        h = act(self, bn(nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                                 dtype=self.dtype)(h)))
         h = nn.Dropout(self.dropout_prob, deterministic=not train)(h)
         return act(self, main + h)
 
@@ -205,17 +218,19 @@ class ENet(nn.Module):
         latent = h
         h = stage23(h)          # stage 3 (same layout minus first downsample)
 
-        h = UpsamplingBottleneck(64, 0.1, dr, dt)(h, oh2, train)
+        h = UpsamplingBottleneck(128, 64, 0.1, dr, dt)(h, oh2, train)
         h = RegularBottleneck(64, dropout_prob=0.1, relu=dr, dtype=dt)(h,
                                                                        train)
         h = RegularBottleneck(64, dropout_prob=0.1, relu=dr, dtype=dt)(h,
                                                                        train)
         f64 = h
-        h = UpsamplingBottleneck(16, 0.1, dr, dt)(h, oh1, train)
+        h = UpsamplingBottleneck(64, 16, 0.1, dr, dt)(h, oh1, train)
         h = RegularBottleneck(16, dropout_prob=0.1, relu=dr, dtype=dt)(h,
                                                                        train)
         f16 = h
+        # torch ConvTranspose2d(k=3, s=2, p=1, output_size=2*in) -> op=1:
+        # dilated input padded (k-1-p)=1 low, (k-1-p)+op=2 high
         logits = nn.ConvTranspose(self.num_classes, (3, 3), strides=(2, 2),
-                                  padding="SAME", use_bias=False,
+                                  padding=((1, 2), (1, 2)), use_bias=False,
                                   dtype=dt)(h)
         return logits, latent, [latent, f64, f16]

@@ -23,8 +23,25 @@ from arco_tpu.models.layers import max_pool
 from arco_tpu.ops.interpolate import resize_bilinear
 
 
+class InstanceNorm(nn.Module):
+    """torch InstanceNorm3d default: NO affine params, NO running stats —
+    per-sample per-channel normalisation (what networks/utils.py:104-109
+    actually builds when is_batchnorm=True)."""
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        axes = tuple(range(1, x.ndim - 1))
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=axes, keepdims=True)
+        var = jnp.var(xf, axis=axes, keepdims=True)
+        return ((xf - mean) / jnp.sqrt(var + self.epsilon)).astype(x.dtype)
+
+
 class UnetConv3(nn.Module):
-    """Double (Conv3 + BN + ReLU) (networks/utils.py:99-133)."""
+    """Double (Conv3 + InstanceNorm + ReLU) (networks/utils.py:99-124 —
+    despite the flag name `is_batchnorm`, the reference normalisation is
+    nn.InstanceNorm3d)."""
     features: int
     dtype: jnp.dtype = jnp.float32
 
@@ -33,20 +50,20 @@ class UnetConv3(nn.Module):
         for _ in range(2):
             x = nn.Conv(self.features, (3, 3, 3), padding="SAME",
                         dtype=self.dtype)(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             dtype=self.dtype)(x)
+            x = InstanceNorm()(x)
             x = nn.relu(x)
         return x
 
 
 class UnetUp3CT(nn.Module):
-    """Trilinear upsample + concat + UnetConv3 (networks/utils.py:260-278)."""
+    """Trilinear upsample + concat + UnetConv3 (networks/utils.py:260-278;
+    nn.Upsample's align_corners defaults to False)."""
     features: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, skip, x, train: bool = True):
-        x = resize_bilinear(x, skip.shape[1:-1], align_corners=True)
+        x = resize_bilinear(x, skip.shape[1:-1], align_corners=False)
         return UnetConv3(self.features, self.dtype)(
             jnp.concatenate([skip, x], axis=-1), train)
 
@@ -102,12 +119,17 @@ class UNet3DDVSemi(nn.Module):
             convs.append(h)
             h = max_pool(h)
         center = UnetConv3(filters[4], self.dtype)(h, train)
-        center = nn.Dropout(0.3, deterministic=not train)(center)
 
+        # per-stage CHANNEL dropout after each decoder block
+        # (unet_3D_dv_semi.py:63-66, 91-101: Dropout3d p=0.5/0.3/0.2/0.1;
+        # Dropout3d zeroes whole feature maps -> broadcast over spatial)
         ups = []
         h = center
-        for f, skip in zip(filters[3::-1], convs[::-1]):
+        for f, skip, p in zip(filters[3::-1], convs[::-1],
+                              (0.5, 0.3, 0.2, 0.1)):
             h = UnetUp3CT(f, self.dtype)(skip, h, train)
+            h = nn.Dropout(p, deterministic=not train,
+                           broadcast_dims=(1, 2, 3))(h)
             ups.append(h)
 
         outs = []
@@ -115,13 +137,16 @@ class UNet3DDVSemi(nn.Module):
             dsv = nn.Conv(self.n_classes, (1, 1, 1), dtype=self.dtype,
                           name=f"dsv{k + 1}")(u)
             if dsv.shape[1:-1] != size:
-                dsv = resize_bilinear(dsv, size, align_corners=True)
+                dsv = resize_bilinear(dsv, size, align_corners=False)
             outs.append(dsv)
         return tuple(outs)
 
 
 class GridAttentionBlock3D(nn.Module):
-    """'concatenation' grid attention (grid_attention_layer.py:7-180)."""
+    """'concatenation' grid attention (grid_attention_layer.py:7-111):
+    theta = k=stride=sub_sample conv (VALID, no bias), phi/psi = 1x1 with
+    bias, attention resizes via F.upsample (align_corners=False), output
+    transform W = 1x1 conv + BatchNorm."""
     inter_channels: int
     sub_sample: Sequence[int] = (2, 2, 2)
     dtype: jnp.dtype = jnp.float32
@@ -130,14 +155,15 @@ class GridAttentionBlock3D(nn.Module):
     def __call__(self, x, g, train: bool = True):
         ss = tuple(self.sub_sample)
         theta_x = nn.Conv(self.inter_channels, ss, strides=ss,
-                          use_bias=False, dtype=self.dtype)(x)
+                          padding="VALID", use_bias=False,
+                          dtype=self.dtype)(x)
         phi_g = nn.Conv(self.inter_channels, (1, 1, 1), dtype=self.dtype)(g)
         phi_g = resize_bilinear(phi_g, theta_x.shape[1:-1],
-                                align_corners=True)
+                                align_corners=False)
         f = nn.relu(theta_x + phi_g)
         psi = nn.Conv(1, (1, 1, 1), dtype=self.dtype)(f)
         sigm = nn.sigmoid(psi.astype(jnp.float32)).astype(x.dtype)
-        sigm = resize_bilinear(sigm, x.shape[1:-1], align_corners=True)
+        sigm = resize_bilinear(sigm, x.shape[1:-1], align_corners=False)
         y = sigm * x
         w = nn.Conv(x.shape[-1], (1, 1, 1), dtype=self.dtype)(y)
         w = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -231,15 +257,20 @@ class GridAttentionBlockTORR(nn.Module):
 
 
 class MultiAttentionBlock(nn.Module):
-    """Gate + combine conv (attention_unet.py:113-135)."""
+    """TWO parallel attention gates + combine conv over their concat
+    (attention_unet.py:113-135: gate_block_1/gate_block_2/combine_gates =
+    Conv1x1 + BatchNorm + ReLU)."""
     inter_channels: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, g, train: bool = True):
-        gated, _ = GridAttentionBlock3D(self.inter_channels,
+        gate1, _ = GridAttentionBlock3D(self.inter_channels,
                                         dtype=self.dtype)(x, g, train)
-        h = nn.Conv(x.shape[-1], (1, 1, 1), dtype=self.dtype)(gated)
+        gate2, _ = GridAttentionBlock3D(self.inter_channels,
+                                        dtype=self.dtype)(x, g, train)
+        h = nn.Conv(x.shape[-1], (1, 1, 1), dtype=self.dtype)(
+            jnp.concatenate([gate1, gate2], axis=-1))
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype)(h)
         return nn.relu(h)
@@ -262,24 +293,40 @@ class AttentionUNet3D(nn.Module):
             convs.append(h)
             h = max_pool(h)
         center = UnetConv3(filters[4], self.dtype)(h, train)
-        # gating signal (UnetGridGatingSignal3, networks/utils.py)
+        # gating signal (UnetGridGatingSignal3, networks/utils.py:192-212:
+        # Conv1x1 + InstanceNorm + ReLU)
         gate = nn.Conv(filters[4], (1, 1, 1), dtype=self.dtype)(center)
-        gate = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                            dtype=self.dtype)(gate)
-        gate = nn.relu(gate)
+        gate = nn.relu(InstanceNorm()(gate))
 
         feature_map = [center]
-        g2 = MultiAttentionBlock(filters[3], self.dtype)(convs[3], gate,
+        g4 = MultiAttentionBlock(filters[3], self.dtype)(convs[3], gate,
                                                          train)
-        h = UnetUp3CT(filters[3], self.dtype)(g2, center, train)
-        feature_map.append(h)
-        g3 = MultiAttentionBlock(filters[2], self.dtype)(convs[2], h, train)
-        h = UnetUp3CT(filters[2], self.dtype)(g3, h, train)
-        feature_map.append(h)
-        g4 = MultiAttentionBlock(filters[1], self.dtype)(convs[1], h, train)
-        h = UnetUp3CT(filters[1], self.dtype)(g4, h, train)
-        feature_map.append(h)
-        h = UnetUp3CT(filters[0], self.dtype)(convs[0], h, train)
-        feature_map.append(h)
-        logits = nn.Conv(self.n_classes, (1, 1, 1), dtype=self.dtype)(h)
+        up4 = UnetUp3CT(filters[3], self.dtype)(g4, center, train)
+        feature_map.append(up4)
+        g3 = MultiAttentionBlock(filters[2], self.dtype)(convs[2], up4,
+                                                         train)
+        up3 = UnetUp3CT(filters[2], self.dtype)(g3, up4, train)
+        feature_map.append(up3)
+        g2 = MultiAttentionBlock(filters[1], self.dtype)(convs[1], up3,
+                                                         train)
+        up2 = UnetUp3CT(filters[1], self.dtype)(g2, up3, train)
+        feature_map.append(up2)
+        up1 = UnetUp3CT(filters[0], self.dtype)(convs[0], up2, train)
+        feature_map.append(up1)
+
+        # deep supervision head (attention_unet.py:54-61, 101-105):
+        # dsv4/3/2 = Conv1x1 + trilinear x8/x4/x2 (UnetDsv3,
+        # networks/utils.py:455-462, align_corners=False), dsv1 = Conv1x1;
+        # final = Conv1x1 over concat [dsv1, dsv2, dsv3, dsv4]
+        size = x.shape[1:-1]
+        dsvs = []
+        for name, u in (("dsv4", up4), ("dsv3", up3), ("dsv2", up2)):
+            d = nn.Conv(self.n_classes, (1, 1, 1), dtype=self.dtype,
+                        name=name)(u)
+            dsvs.append(resize_bilinear(d, size, align_corners=False))
+        dsv1 = nn.Conv(self.n_classes, (1, 1, 1), dtype=self.dtype,
+                       name="dsv1")(up1)
+        cat = jnp.concatenate([dsv1, dsvs[2], dsvs[1], dsvs[0]], axis=-1)
+        logits = nn.Conv(self.n_classes, (1, 1, 1), dtype=self.dtype,
+                         name="final")(cat)
         return logits, center, feature_map

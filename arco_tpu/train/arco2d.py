@@ -246,7 +246,7 @@ def arco_loss_fn(params, state: ArcoState, modules: ArcoModules, cfg, batch,
     ``aug`` carries the pre-computed (non-differentiable) augmented tensors
     and teacher outputs so the grad graph holds only student compute.
     """
-    k_l, k_u, k_tps = jax.random.split(rng, 3)
+    k_l, k_dead, k_u, k_tps = jax.random.split(rng, 4)
     image_l, label_l = batch["image_l"], batch["label_l"]
     u_aug_data = aug["u_aug_data"]
     u_aug_label = aug["u_aug_label"]
@@ -256,6 +256,14 @@ def arco_loss_fn(params, state: ArcoState, modules: ArcoModules, cfg, batch,
     bs = state.batch_stats["model"]
     pred_l, l_fmap, bs = _apply_model(modules.model, params["model"], bs,
                                       image_l, k_l, remat=cfg.remat)
+    if getattr(cfg, "dead_forward", False):
+        # the reference's 2nd student forward (train_arco_2d.py:311,
+        # model(images_cj2_l)): its OUTPUTS are dead, but in train mode it
+        # advances BatchNorm running statistics with an extra labeled-image
+        # pass — which eval (running stats) sees. Kept gradient-free
+        # (gradients never flowed in the reference either).
+        _, _, bs = _apply_model(modules.model, params["model"], bs,
+                                aug["images_cj2_l"], k_dead, stop_grad=True)
     pred_u, u_fmap, bs = _apply_model(modules.model, params["model"], bs,
                                       u_aug_data, k_u, remat=cfg.remat)
 
@@ -329,6 +337,12 @@ def arco_loss_fn(params, state: ArcoState, modules: ArcoModules, cfg, batch,
 
         prob_teacher_all = jnp.concatenate(
             [aug["prob_l_teacher"], aug["prob_u_teacher"]], axis=0)
+        # backbones whose representation is sub-resolution (DeepLab at 1/8)
+        # need the teacher probabilities at rep size too — the reference
+        # only ever ran full-res reps, so it interpolates labels/masks but
+        # not probs (train_arco_2d.py:376-393); nearest keeps each pixel a
+        # valid distribution
+        prob_teacher_all = to_rep_size(prob_teacher_all)
         rank_all = descending_rank(prob_teacher_all)
         b_l = image_l.shape[0]
         is_labeled = jnp.concatenate([jnp.ones((b_l,), bool),
@@ -471,6 +485,20 @@ def make_arco_step(modules: ArcoModules, cfg, tx, num_classes: int,
             u_aug_strong = adv_morph_batch(k_morph2, u_aug_strong,
                                            coarse_exp=coarse)
 
+        images_cj2_l = batch["image_l"]
+        if getattr(cfg, "quantize_augs", False):
+            # replicate the reference's PIL round-trip quantization
+            # (augment.py:255-281): every augmented image and the ridden
+            # confidence map are floor-quantized to 1/255 (torchvision
+            # to_pil_image: pic.mul(255).byte()); the labeled cj2 copy went
+            # through batch_transform(apply_augmentation=False) and is
+            # quantized too, while the raw labeled forward input is not
+            q8 = lambda x: jnp.floor(jnp.clip(x, 0.0, 1.0) * 255.0) / 255.0
+            u_aug_strong = q8(u_aug_strong)
+            images_cj2_u = q8(images_cj2_u)
+            u_aug_logits = q8(u_aug_logits)
+            images_cj2_l = q8(images_cj2_l)
+
         # ---- teacher forwards + fusion (no grad) --------------------------
         pred_l_t, l_fmap_t, ebs = _apply_model(
             modules.model, state.ema_params["model"], ebs, batch["image_l"],
@@ -490,7 +518,7 @@ def make_arco_step(modules: ArcoModules, cfg, tx, num_classes: int,
 
         aug = {"u_aug_data": u_aug_strong, "u_aug_label": u_aug_label,
                "u_aug_logits": u_aug_logits,
-               "images_cj2_l": batch["image_l"], "images_cj2_u": images_cj2_u,
+               "images_cj2_l": images_cj2_l, "images_cj2_u": images_cj2_u,
                "prob_l_teacher": jax.nn.softmax(
                    pred_l_t.astype(jnp.float32), axis=-1),
                "prob_u_teacher": jax.nn.softmax(

@@ -79,6 +79,107 @@ def bench_arco_step(steps: int = 20, warmup: int = 2, batch: int = 4,
     return steps * images_per_step / dt, hw, batch
 
 
+def bench_arco_step_3d(steps: int = 10, warmup: int = 2, batch: int = 2,
+                       k: int = 2):
+    """Full 3D ARCO step (V-Net, [112,112,80], trainer-parity config)."""
+    import jax
+    import jax.numpy as jnp
+    from arco_tpu.config import ArcoConfig
+    from arco_tpu.models import net_factory_3d
+    from arco_tpu.train.arco2d import (init_arco_state, make_arco_modules,
+                                       make_arco_step)
+    from arco_tpu.train.schedule import make_optimizer
+
+    dtype = jnp.bfloat16
+    cfg = ArcoConfig(compute_eqv=True, use_eqv_loss=False,
+                     use_photometric=False, use_adv_morph=False,
+                     apply_aug="cutmix", remat=False, K=36,
+                     memobank_init="randn")
+    model = net_factory_3d("vnet", in_chns=1, class_num=k, dtype=dtype)
+    shape = (batch, 112, 112, 80, 1)
+    modules = make_arco_modules(model, 112, 112, batch_size=batch,
+                                feature_channels=(128, 64, 32, 16, 16),
+                                fused_dim=16, dtype=dtype)
+    tx = make_optimizer(0.01, 6000)
+    state = init_arco_state(jax.random.PRNGKey(0), modules, cfg, shape, tx)
+    step_fn = make_arco_step(modules, cfg, tx, num_classes=k,
+                             max_iterations=6000)
+    rng = np.random.RandomState(0)
+    label = rng.randint(0, k, size=shape[:-1]).astype(np.int32)
+    image = (label[..., None] / max(k - 1, 1)
+             + 0.1 * rng.randn(*shape)).astype(np.float32)
+    batch_d = {"image_l": jnp.asarray(image), "label_l": jnp.asarray(label),
+               "image_u": jnp.asarray(image)}
+    for _ in range(warmup):
+        state, metrics = step_fn(state, batch_d)
+    _ = float(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step_fn(state, batch_d)
+    _ = float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    return steps * 2 * batch / dt
+
+
+def _peak_hbm_gb():
+    import jax
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        return round(stats.get("peak_bytes_in_use", 0) / 2 ** 30, 2)
+    except Exception:
+        return None
+
+
+def scale_child_main(dim: int, batch: int) -> None:
+    """One batch-scaling point in its own process (clean peak-HBM stat)."""
+    from arco_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+    import jax
+    backend = jax.devices()[0].platform
+    if dim == 3:
+        ips = bench_arco_step_3d(steps=10, batch=batch)
+        metric = f"ARCO-3D train step throughput (112x112x80, bs {batch}+{batch})"
+        unit = "volumes/sec/chip"
+    else:
+        ips, hw, _ = bench_arco_step(steps=10, batch=batch)
+        metric = f"ARCO-2D train step throughput ({hw}x{hw}, bs {batch}+{batch})"
+        unit = "images/sec/chip"
+    print(json.dumps({"metric": metric, "dim": dim, "batch": batch,
+                      "value": round(ips, 3), "unit": unit,
+                      "per_sample_ms": round(2000 * batch / ips, 2),
+                      "peak_hbm_gb": _peak_hbm_gb(), "backend": backend}))
+
+
+def run_scaling(out_path: str = "docs/artifacts/scaling/batch_scaling.json"):
+    """Batch-scaling sweep (VERDICT r3 item 7): 2D bs 2/4/8/16, 3D bs 2/4.
+    Each point runs in its own subprocess so peak HBM is per-config and an
+    OOM only voids that point."""
+    points = [(2, b) for b in (2, 4, 8, 16)] + [(3, b) for b in (2, 4)]
+    rows = []
+    for dim, batch in points:
+        cmd = [sys.executable, os.path.abspath(__file__), "--scale-child",
+               f"--dim={dim}", f"--batch={batch}"]
+        try:
+            proc = subprocess.run(cmd, timeout=1500, capture_output=True,
+                                  text=True)
+        except subprocess.TimeoutExpired:
+            rows.append({"dim": dim, "batch": batch, "error": "timeout"})
+            continue
+        line = next((ln for ln in proc.stdout.splitlines()
+                     if ln.strip().startswith("{")), None)
+        if proc.returncode or line is None:
+            rows.append({"dim": dim, "batch": batch,
+                         "error": f"rc={proc.returncode}",
+                         "stderr_tail": proc.stderr[-400:]})
+        else:
+            rows.append(json.loads(line))
+        print(json.dumps(rows[-1]), flush=True)
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump({"points": rows}, f, indent=1)
+    return rows
+
+
 def bench_torch_cpu_proxy(hw: int = 256, batch: int = 4, k: int = 4,
                           steps: int = 2):
     """Reference-step compute proxy on torch CPU: 6 U-Net forwards with
@@ -239,6 +340,16 @@ def run_child(backend: str, quick: bool, timeout_s: float):
 
 def main():
     quick = "--quick" in sys.argv
+    if "--scale-child" in sys.argv:
+        dim = next(int(a.split("=")[1]) for a in sys.argv
+                   if a.startswith("--dim="))
+        batch = next(int(a.split("=")[1]) for a in sys.argv
+                     if a.startswith("--batch="))
+        scale_child_main(dim, batch)
+        return
+    if "--scaling" in sys.argv:
+        run_scaling()
+        return
     if "--child" in sys.argv:
         backend = "cpu" if "--backend=cpu" in sys.argv else "tpu"
         child_main(backend, quick)

@@ -327,8 +327,24 @@ def run_reference(iters, seed, data, num_queries=64, num_negatives=128):
     return rec, dice, time.time() - t0
 
 
+VARIANT_CFG = {
+    # VERDICT r3 item 3: re-add the reference's intentional-delta behaviors
+    # one at a time in the rebuild arm to attribute the Dice dominance.
+    "base": {},
+    # the reference's dead 6th forward advances BN running stats
+    "dead": {"dead_forward": True},
+    # the reference's PIL round-trip quantizes every augmented image/logit
+    "quant": {"quantize_augs": True},
+    # the reference enqueues EVERY matching negative pixel; approximate
+    # enqueue-all by raising the per-class stratified cap 256 -> 2048
+    "enq": {"memobank_enqueue": 2048},
+    "all": {"dead_forward": True, "quantize_augs": True,
+            "memobank_enqueue": 2048},
+}
+
+
 def run_arco(iters, seed, data, init_seed, num_queries=64,
-             num_negatives=128):
+             num_negatives=128, variant="base"):
     """arco_tpu trainer at the matched config, initialized from the SAME
     reference weights (converted)."""
     import jax
@@ -354,7 +370,8 @@ def run_arco(iters, seed, data, init_seed, num_queries=64,
 
     import dataclasses
     cfg = dataclasses.replace(ArcoConfig(), num_queries=num_queries,
-                              num_negatives=num_negatives)
+                              num_negatives=num_negatives,
+                              **VARIANT_CFG[variant])
     model = net_factory("unet", in_chns=1, class_num=K_CLS)
     modules = make_arco_modules(model, HW, HW, batch_size=B)
     tx = make_optimizer(BASE_LR, iters)
@@ -416,11 +433,16 @@ def window_means(rec, frac=0.25):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=300)
-    ap.add_argument("--ref-seeds", type=int, nargs="+", default=[0])
+    ap.add_argument("--ref-seeds", type=int, nargs="*", default=[0])
     ap.add_argument("--arco-seeds", type=int, nargs="+", default=[0, 1])
     ap.add_argument("--num-queries", type=int, default=64)
     ap.add_argument("--num-negatives", type=int, default=128)
+    ap.add_argument("--arco-variants", nargs="+", default=["base"],
+                    choices=sorted(VARIANT_CFG),
+                    help="rebuild-arm ablation variants (VERDICT r3 #3)")
     ap.add_argument("--out", default="docs/artifacts/ref_parity")
+    ap.add_argument("--tag", default="trajectory",
+                    help="output filename stem")
     args = ap.parse_args()
 
     data = make_data(seed=0)
@@ -437,24 +459,31 @@ def main():
                                "late_means": window_means(rec),
                                "curve_loss": rec["loss"]})
         print(f"[ref seed{s}] dice {dice:.4f} wall {wall:.0f}s", flush=True)
-    for s in args.arco_seeds:
-        rec, dice, wall = run_arco(args.iters, s, data, init_seed=0,
-                                   num_queries=args.num_queries,
-                                   num_negatives=args.num_negatives)
-        results["arco"].append({"seed": s, "dice": dice, "wall_s": wall,
-                                "late_means": window_means(rec),
-                                "curve_loss": rec["loss"]})
-        print(f"[arco seed{s}] dice {dice:.4f} wall {wall:.0f}s", flush=True)
+    for variant in args.arco_variants:
+        for s in args.arco_seeds:
+            rec, dice, wall = run_arco(args.iters, s, data, init_seed=0,
+                                       num_queries=args.num_queries,
+                                       num_negatives=args.num_negatives,
+                                       variant=variant)
+            results["arco"].append({"seed": s, "variant": variant,
+                                    "dice": dice, "wall_s": wall,
+                                    "late_means": window_means(rec),
+                                    "curve_loss": rec["loss"]})
+            print(f"[arco/{variant} seed{s}] dice {dice:.4f} "
+                  f"wall {wall:.0f}s", flush=True)
 
     os.makedirs(args.out, exist_ok=True)
-    with open(os.path.join(args.out, "trajectory.json"), "w") as f:
+    with open(os.path.join(args.out, f"{args.tag}.json"), "w") as f:
         json.dump(results, f, indent=1)
 
     ref_d = [r["dice"] for r in results["ref"]]
-    arco_d = [r["dice"] for r in results["arco"]]
+    by_variant = {}
+    for r in results["arco"]:
+        by_variant.setdefault(r.get("variant", "base"), []).append(r["dice"])
     print(json.dumps({
-        "ref_dice": ref_d, "arco_dice": arco_d,
-        "ref_late": results["ref"][0]["late_means"],
+        "ref_dice": ref_d, "arco_dice_by_variant": by_variant,
+        "ref_late": (results["ref"][0]["late_means"]
+                     if results["ref"] else None),
         "arco_late": results["arco"][0]["late_means"]}, indent=1))
 
 
