@@ -16,7 +16,7 @@ from typing import Dict, Tuple
 import numpy as np
 
 from arco_tpu.compat.torch_import import (_bn, _conv, _conv3d, _conv_block,
-                                          _convT, _np_sd)
+                                          _convT, _dense, _np_sd)
 
 
 def _to_jnp(tree):
@@ -279,6 +279,76 @@ def convert_enet_state_dict(sd: Dict, encoder_relu: bool = False,
     return _to_jnp(params), _to_jnp(stats)
 
 
+# ------------------------------------------------------------------ nnUNet
+
+def _nn_conv_dlast(sd, prefix, transposed=False):
+    """nnU-Net Conv3d whose torch spatial order is (depth, h, w) — the
+    anisotropic axis is FIRST in torch ([1,2,2] pools, nnunet.py:489-490)
+    but LAST in this framework's [B, H, W, D, C] layout, so kernels map
+    (kd, kh, kw) -> (kh, kw, kd)."""
+    w = np.asarray(sd[f"{prefix}.weight"])
+    if transposed:
+        # flax ConvTranspose paints the kernel spatially FLIPPED relative
+        # to torch's adjoint-of-conv painting
+        w = w.transpose(3, 4, 2, 0, 1)[::-1, ::-1, ::-1].copy()
+    else:
+        w = w.transpose(3, 4, 2, 1, 0)
+    p = {"kernel": w}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = np.asarray(sd[f"{prefix}.bias"])
+    return p
+
+
+def _nn_block(sd, prefix):
+    """ConvDropoutNormNonlin (nnunet.py:42-86): .conv + .instnorm
+    (InstanceNorm3d affine=True — stateless at eval, only scale/bias)."""
+    return {"Conv_0": _nn_conv_dlast(sd, f"{prefix}.conv"),
+            "InstanceNormAffine_0": {
+                "scale": np.asarray(sd[f"{prefix}.instnorm.weight"]),
+                "bias": np.asarray(sd[f"{prefix}.instnorm.bias"])}}
+
+
+def convert_nnunet_state_dict(sd: Dict, num_pool: int = 6,
+                              conv_per_stage: int = 2) -> Tuple[Dict, Dict]:
+    """networks/nnunet.py:186-478 Generic_UNet as built by
+    initialize_network (nnunet.py:500-530: 6 pools, 2 convs/stage,
+    convolutional pooling+upsampling, no deep supervision) ->
+    arco_tpu.models.nnunet.GenericUNet. batch_stats is empty (InstanceNorm
+    holds no running state).
+
+    Torch tree: conv_blocks_context.{0..5}.blocks.{j}, the bottleneck
+    Sequential conv_blocks_context.6.{0,1}.blocks.0, tu.{u} transposed
+    convs, conv_blocks_localization.{u}.{0,1}.blocks.0, and one seg head
+    per stage of which only the finest (seg_outputs.{num_pool-1}) is live
+    without deep supervision (nnunet.py:430-433)."""
+    sd = _np_sd(sd)
+    params = {}
+    for d in range(num_pool):
+        params[f"StackedConvLayers_{d}"] = {
+            f"ConvNormLRelu_{j}": _nn_block(
+                sd, f"conv_blocks_context.{d}.blocks.{j}")
+            for j in range(conv_per_stage)}
+    params[f"StackedConvLayers_{num_pool}"] = {
+        f"ConvNormLRelu_{j}": _nn_block(
+            sd, f"conv_blocks_context.{num_pool}.0.blocks.{j}")
+        for j in range(conv_per_stage - 1)}
+    params[f"StackedConvLayers_{num_pool + 1}"] = {
+        "ConvNormLRelu_0": _nn_block(
+            sd, f"conv_blocks_context.{num_pool}.1.blocks.0")}
+    for u in range(num_pool):
+        params[f"ConvTranspose_{u}"] = _nn_conv_dlast(sd, f"tu.{u}",
+                                                      transposed=True)
+        params[f"StackedConvLayers_{num_pool + 2 + 2 * u}"] = {
+            f"ConvNormLRelu_{j}": _nn_block(
+                sd, f"conv_blocks_localization.{u}.0.blocks.{j}")
+            for j in range(conv_per_stage - 1)}
+        params[f"StackedConvLayers_{num_pool + 3 + 2 * u}"] = {
+            "ConvNormLRelu_0": _nn_block(
+                sd, f"conv_blocks_localization.{u}.1.blocks.0")}
+    params["Conv_0"] = _nn_conv_dlast(sd, f"seg_outputs.{num_pool - 1}")
+    return _to_jnp(params), {}
+
+
 # ------------------------------------------------------------- STEGO / HAR
 
 def convert_unet_stego_state_dict(sd: Dict) -> Tuple[Dict, Dict]:
@@ -339,4 +409,71 @@ def convert_unet_har_state_dict(sd: Dict) -> Tuple[Dict, Dict]:
         p, s = _har_conv_block(sd, f"decoder.up{k}.conv")
         params[f"ConvBlockHAR_{k + 4}"], stats[f"ConvBlockHAR_{k + 4}"] = p, s
     params["Conv_0"] = _conv(sd, "decoder.out_conv")
+    return _to_jnp(params), _to_jnp(stats)
+
+
+# ----------------------------------------------------------------- VGG
+
+def convert_vgg19_features_state_dict(sd: Dict) -> Dict:
+    """torchvision-layout VGG-19 trunk (features.{i}.weight, no BN) ->
+    models.vgg.VGG19Features params (Conv_0..Conv_15 in call order). Only
+    the conv trunk is consumed (feature_extraction.py:87-220 slices relus
+    off vgg19.features)."""
+    from arco_tpu.models.vgg import VGG19_CFG
+
+    sd = _np_sd(sd)
+    params, ti, ci = {}, 0, 0
+    for v in VGG19_CFG:
+        if v == "M":
+            ti += 1
+            continue
+        params[f"Conv_{ci}"] = _conv(sd, f"features.{ti}")
+        ti += 2  # conv + inplace relu
+        ci += 1
+    return _to_jnp(params)
+
+
+def _dense_from_nchw_flatten(sd, prefix, ch: int, spatial: Tuple[int, int]):
+    """torch Linear over an NCHW flatten (index c*H*W + h*W + w) -> flax
+    Dense over the NHWC flatten (index h*W*C + w*C + c)."""
+    w = np.asarray(sd[f"{prefix}.weight"])          # [out, c*h*w]
+    out_dim = w.shape[0]
+    w = w.reshape(out_dim, ch, *spatial).transpose(0, 2, 3, 1)
+    return {"kernel": w.reshape(out_dim, -1).T.copy(),
+            "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+
+def convert_deepcluster_vgg16_state_dict(
+        sd: Dict, batch_norm: bool = True, include_top: bool = True,
+        final_spatial: Tuple[int, int] = (7, 7)) -> Tuple[Dict, Dict]:
+    """models/deepcluster_vgg16.py VGG -> models.vgg.DeepClusterVGG16.
+
+    Torch tree: features.{i} sequential (conv[, bn], relu | pool),
+    classifier.{0,3} Linears, top_layer Linear; sobel.* keys are the fixed
+    grayscale/Sobel constants (deepcluster_vgg16.py:23-37) — hardcoded in
+    the flax module, so they are skipped here. The first classifier Linear
+    reads the NCHW flatten; _dense_from_nchw_flatten permutes it for the
+    NHWC flatten."""
+    from arco_tpu.models.vgg import VGG16_CFG
+
+    sd = _np_sd(sd)
+    params, stats, ti, ci = {}, {}, 0, 0
+    for v in VGG16_CFG:
+        if v == "M":
+            ti += 1
+            continue
+        params[f"Conv_{ci}"] = _conv(sd, f"features.{ti}")
+        ti += 1
+        if batch_norm:
+            bn_p, bn_s = _bn(sd, f"features.{ti}")
+            params[f"BatchNorm_{ci}"] = bn_p
+            stats[f"BatchNorm_{ci}"] = bn_s
+            ti += 1
+        ti += 1  # relu
+        ci += 1
+    params["Dense_0"] = _dense_from_nchw_flatten(sd, "classifier.0", 512,
+                                                 final_spatial)
+    params["Dense_1"] = _dense(sd, "classifier.3")
+    if include_top and "top_layer.weight" in sd:
+        params["Dense_2"] = _dense(sd, "top_layer")
     return _to_jnp(params), _to_jnp(stats)

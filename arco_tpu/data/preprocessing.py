@@ -12,7 +12,7 @@ Parity targets:
 from __future__ import annotations
 
 import os
-from typing import Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 from scipy import ndimage
@@ -35,29 +35,40 @@ def mri_percentile_clip(volume: np.ndarray, low: float = 0.5,
     return (v - v.mean()) / (v.std() + 1e-8)
 
 
-def partial_label_mask(rng: np.random.RandomState, label: np.ndarray,
-                       fraction: float = 0.1,
-                       ignore_index: int = 255) -> np.ndarray:
-    """Grow a partial mask from one seed pixel per class region by binary
-    dilation until ~fraction of the region is labeled
-    (pascal_preprocessing.py:36-56); everything else becomes ignore."""
-    out = np.full_like(label, ignore_index)
-    for cls in np.unique(label):
-        if cls == ignore_index:
-            continue
+# the reference grows with cv2.dilate(mask, np.ones([5, 5]))
+_DILATE_5x5 = np.ones((5, 5), bool)
+
+
+def partial_label_mask(label: np.ndarray, fraction: float,
+                       void_classes: Sequence[int] = (255,),
+                       fill_value: int = 255,
+                       rng: np.random.RandomState = None) -> np.ndarray:
+    """The reference's 'p0.x' partial-label regime
+    (pascal_preprocessing.py:36-56, cityscapes_preprocessing.py:90-107):
+    per valid class, seed ONE random in-class pixel, then repeatedly dilate
+    the UNGATED mask by a 5x5 kernel — the growth front travels across
+    non-class pixels, so disconnected parts of the class get reached — and
+    stop once the class-gated intersection covers >= int(fraction * area)
+    pixels. fraction=0 is the reference's separate p0 loop: exactly the one
+    seed pixel per class (pascal_preprocessing.py:58-73)."""
+    rng = rng or np.random
+    out = np.full_like(label, fill_value)
+    valid = [c for c in np.unique(label).tolist() if c not in void_classes]
+    for cls in valid:
         region = label == cls
-        n_target = max(int(region.sum() * fraction), 1)
-        ys, xs = np.nonzero(region)
-        seed_i = rng.randint(len(ys))
-        grown = np.zeros_like(region)
-        grown[ys[seed_i], xs[seed_i]] = True
-        struct = ndimage.generate_binary_structure(2, 2)
-        while grown.sum() < n_target:
-            new = ndimage.binary_dilation(grown, struct) & region
-            if new.sum() == grown.sum():
-                break
-            grown = new
-        out[grown] = cls
+        idx = np.transpose(np.nonzero(region))
+        pick = idx[rng.choice(idx.shape[0], 1, replace=False)[0]]
+        grown = np.zeros(label.shape, bool)
+        grown[pick[0], pick[1]] = True
+        if fraction == 0.0:
+            out[pick[0], pick[1]] = cls
+            continue
+        target = int(fraction * region.sum())
+        gated = grown & region
+        while gated.sum() < target:
+            grown = ndimage.binary_dilation(grown, _DILATE_5x5)
+            gated = grown & region
+        out[gated] = cls
     return out
 
 

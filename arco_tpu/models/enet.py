@@ -58,9 +58,11 @@ class InitialBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        # torch k3/s2/p1 pads (1,1); flax SAME would pad (0,1) on even
+        # inputs, shifting every window by one
         main = nn.Conv(self.out_channels - x.shape[-1], (3, 3),
-                       strides=(2, 2), padding="SAME", use_bias=False,
-                       dtype=self.dtype)(x)
+                       strides=(2, 2), padding=((1, 1), (1, 1)),
+                       use_bias=False, dtype=self.dtype)(x)
         # reference ext branch is MaxPool2d(3, stride=2, padding=1)
         # (enet.py:50), NOT a 2x2 pool — overlapping 3x3 windows
         ext = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

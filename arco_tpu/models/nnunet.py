@@ -74,8 +74,12 @@ class ConvNormLRelu(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         stride = self.stride or (1,) * len(self.kernel)
+        # torch pads (k-1)//2 both sides (conv_pad_sizes, nnunet.py:278-283);
+        # flax SAME would pad (0,1) for strided convs on even inputs,
+        # shifting every window by one
+        pad = tuple((k // 2, k // 2) for k in self.kernel)
         x = nn.Conv(self.features, tuple(self.kernel), strides=tuple(stride),
-                    padding="SAME", dtype=self.dtype)(x)
+                    padding=pad, dtype=self.dtype)(x)
         if self.dropout_p > 0:
             x = nn.Dropout(self.dropout_p, deterministic=not train)(x)
         x = InstanceNormAffine()(x)
@@ -183,10 +187,12 @@ class GenericUNet(nn.Module):
                 final_features = features[d - 1] if u != num_pool - 1 \
                     else n_skip
             h = jnp.concatenate([h, skips[d]], axis=-1)
+            # torch indexes conv_kernel_sizes[-(u+1)] = [d+1]
+            # (nnunet.py:370-371) — one coarser than the skip's own stage
+            kern = self.conv_kernels[d + 1]
             h = StackedConvLayers(n_skip, self.conv_per_stage - 1,
-                                  self.conv_kernels[d], None, loc_p,
-                                  self.dtype)(h, train)
-            h = StackedConvLayers(final_features, 1, self.conv_kernels[d],
+                                  kern, None, loc_p, self.dtype)(h, train)
+            h = StackedConvLayers(final_features, 1, kern,
                                   None, loc_p, self.dtype)(h, train)
             feature_maps.append(h)
             if self.deep_supervision or u == num_pool - 1:

@@ -58,6 +58,11 @@ from arco_tpu.train.schedule import make_optimizer
 HW, B, K = 256, 4, 3
 N_LABELED, N_UNLABELED, N_VAL = 2, 128, 32
 N_WARM, N_TUNE = 150, 450
+# 3D gate arm (VERDICT r3 item 4): LA-shaped volumes, >= 3 classes so the
+# volumetric contrastive reco term is NONZERO (the 2-class LA quirk makes
+# reco == 0 identically, tests/test_losses.py), V-Net + the 3D trainer's
+# module config at the reference's 2+2 batch split
+VOL, B3_L, B3 = (64, 64, 32), 2, 4
 
 
 def make_task(rng, n):
@@ -185,8 +190,61 @@ def make_task_striped(rng, n, thetas=None):
     return np.stack(images), np.stack(labels)
 
 
+def make_task_shifted3d(rng, n, gains=None, offsets=None):
+    """3D gate task: the 'shifted' mechanism on LA-shaped volumes.
+
+    Intensity-coded classes (background 0.35 / class-1 0.62 / class-2
+    0.88), per-volume appearance shift (gain, offset, smooth 3D bias
+    field, noise); labeled volumes pinned at canonical appearance. Uses
+    the SAME calibrated ranges as the 2D task — the photometric strong-aug
+    bridge is shared by both trainers."""
+    X, Y, Z = VOL
+    zz = np.linspace(-1, 1, Z)
+    xs = np.linspace(-1, 1, X)
+    ys = np.linspace(-1, 1, Y)
+    gx, gy, gz = np.meshgrid(xs, ys, zz, indexing="ij")
+    levels = np.array([0.35, 0.62, 0.88], np.float32)
+    images, labels = [], []
+    for i in range(n):
+        fields = []
+        for c in range(K - 1):
+            f = np.zeros(VOL, np.float32)
+            for _ in range(3):
+                cx, cy, cz = rng.uniform(-0.6, 0.6, 3)
+                s = rng.uniform(0.15, 0.35)
+                f += np.exp(-((gx - cx) ** 2 + (gy - cy) ** 2
+                              + (gz - cz) ** 2) / (2 * s * s))
+            fields.append(f)
+        stack = np.stack([0.55 * np.ones(VOL, np.float32)] + fields)
+        label = stack.argmax(0).astype(np.int32)
+        base = levels[label]
+        gain = (gains[i] if gains is not None
+                else rng.uniform(GAIN_LO, GAIN_HI))
+        offset = (offsets[i] if offsets is not None
+                  else rng.uniform(-OFF_MAX, OFF_MAX))
+        coarse = rng.uniform(-1.0, 1.0, (4, 4, 2)).astype(np.float32)
+        field = 1.0 + 0.10 * np.asarray(
+            jax.image.resize(jnp.asarray(coarse), VOL, "linear"))
+        image = np.clip(gain * field * base + offset
+                        + 0.13 * rng.randn(*VOL), 0.0, 1.5)
+        images.append(image.astype(np.float32)[..., None])
+        labels.append(label)
+    return np.stack(images), np.stack(labels)
+
+
 def make_data(task, seed):
     rng = np.random.RandomState(seed)
+    if task == "shifted3d":
+        img_l, lab_l = make_task_shifted3d(
+            rng, N_LABELED, gains=np.ones(N_LABELED),
+            offsets=np.zeros(N_LABELED))
+        img_u, _ = make_task_shifted3d(rng, N_UNLABELED)
+        val_gains = np.linspace(GAIN_LO, GAIN_HI, N_VAL)
+        val_offsets = np.linspace(-OFF_MAX, OFF_MAX, N_VAL)
+        rng.shuffle(val_offsets)
+        img_v, lab_v = make_task_shifted3d(rng, N_VAL, gains=val_gains,
+                                           offsets=val_offsets)
+        return img_l, lab_l, img_u, img_v, lab_v
     if task == "striped":
         img_l, lab_l = make_task_striped(rng, N_LABELED,
                                          thetas=np.zeros(N_LABELED))
@@ -226,11 +284,25 @@ def dice(pred, label, num_classes):
 
 def run(cfg, tag, steps, img_l, lab_l, img_u, dtype, init_params=None,
         init_stats=None, seed=0):
-    model = net_factory("unet", in_chns=1, class_num=K, dtype=dtype)
-    modules = make_arco_modules(model, HW, HW, batch_size=B, dtype=dtype)
+    is3d = img_l.ndim == 5
+    if is3d:
+        # the 3D trainer's module config (cli/train_arco_3d.py:85-90)
+        from arco_tpu.models import net_factory_3d
+        b_l, b_u = B3_L, B3 - B3_L
+        model = net_factory_3d("vnet", in_chns=1, class_num=K, dtype=dtype)
+        modules = make_arco_modules(
+            model, VOL[1], VOL[0], batch_size=b_l, total_batch=B3,
+            feature_channels=(128, 64, 32, 16, 16), fused_dim=16,
+            dtype=dtype)
+        init_shape = (b_l,) + VOL + (1,)
+    else:
+        b_l = b_u = B
+        model = net_factory("unet", in_chns=1, class_num=K, dtype=dtype)
+        modules = make_arco_modules(model, HW, HW, batch_size=B, dtype=dtype)
+        init_shape = (B, HW, HW, 1)
     tx = make_optimizer(0.01, steps)
     state = init_arco_state(jax.random.PRNGKey(seed), modules, cfg,
-                            (B, HW, HW, 1), tx,
+                            init_shape, tx,
                             model_params=init_params,
                             model_batch_stats=init_stats)
     step_fn = make_arco_step(modules, cfg, tx, num_classes=K,
@@ -239,8 +311,8 @@ def run(cfg, tag, steps, img_l, lab_l, img_u, dtype, init_params=None,
     rng = np.random.RandomState(seed)
     t0 = time.time()
     for it in range(steps):
-        li = rng.randint(0, len(img_l), B)
-        ui = rng.randint(0, len(img_u), B)
+        li = rng.randint(0, len(img_l), b_l)
+        ui = rng.randint(0, len(img_u), b_u)
         batch = {"image_l": jnp.asarray(img_l[li]),
                  "label_l": jnp.asarray(lab_l[li]),
                  "image_u": jnp.asarray(img_u[ui])}
@@ -263,13 +335,14 @@ def evaluate(model, params, stats, img_val, lab_val):
                                    rngs={"dropout": jax.random.PRNGKey(0)})
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
+    eb = B3_L if img_val.ndim == 5 else B
     scores = []
-    for i in range(0, len(img_val), B):
-        chunk = img_val[i:i + B]
-        if len(chunk) < B:
-            chunk = np.concatenate([chunk, chunk[:B - len(chunk)]])
+    for i in range(0, len(img_val), eb):
+        chunk = img_val[i:i + eb]
+        if len(chunk) < eb:
+            chunk = np.concatenate([chunk, chunk[:eb - len(chunk)]])
         preds = np.asarray(predict(jnp.asarray(chunk)))
-        for j in range(min(B, len(img_val) - i)):
+        for j in range(min(eb, len(img_val) - i)):
             scores.append(dice(preds[j], lab_val[i + j], K))
     return float(np.mean(scores))
 
@@ -295,6 +368,10 @@ def run_seed(task, seed, dtype, arms=("sup", "arco"), n_tune=N_TUNE,
                          use_eqv_loss=False, use_photometric=False,
                          use_adv_morph=False)
     arco_cfg = ArcoConfig()
+    if task == "shifted3d":
+        # the 3D reference logs eqv but EXCLUDES it from the loss
+        # (train_arco_3d.py:389-398 quirk, replicated by the 3D trainer)
+        arco_cfg = dataclasses.replace(arco_cfg, use_eqv_loss=False)
 
     warm_p, warm_s, model = run(sup_cfg, f"[s{seed}] warmup", n_warm,
                                 img_l, lab_l, img_u, dtype, seed=seed)
@@ -327,7 +404,7 @@ def run_seed(task, seed, dtype, arms=("sup", "arco"), n_tune=N_TUNE,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--task", default="shifted",
-                    choices=["blobs", "shifted", "striped"])
+                    choices=["blobs", "shifted", "striped", "shifted3d"])
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
     ap.add_argument("--arms", nargs="+", default=["sup", "arco"])
     ap.add_argument("--tune-steps", type=int, default=N_TUNE)
@@ -339,9 +416,12 @@ def main():
     on_cpu = jax.devices()[0].platform == "cpu"
     dtype = jnp.float32 if on_cpu else jnp.bfloat16
     results = {"task": args.task, "hw": HW, "n_labeled": N_LABELED,
-               "n_unlabeled": N_UNLABELED, "warm_steps": N_WARM,
+               "n_unlabeled": N_UNLABELED, "warm_steps": args.warm_steps,
                "tune_steps": args.tune_steps,
                "backend": jax.devices()[0].platform, "runs": []}
+    if args.task == "shifted3d":
+        results["vol"] = list(VOL)
+        results["batch"] = [B3_L, B3 - B3_L]
     for s in args.seeds:
         results["runs"].append(run_seed(args.task, s, dtype,
                                         arms=tuple(args.arms),
@@ -360,9 +440,13 @@ def main():
         print(json.dumps(results["summary"]))
     if args.out:
         os.makedirs(args.out, exist_ok=True)
-        with open(os.path.join(args.out, "quality_gate.json"), "w") as f:
+        # the shifted artifact keeps its committed name; other task
+        # families get their own file so the gates accumulate
+        name = ("quality_gate.json" if args.task == "shifted"
+                else f"quality_gate_{args.task}.json")
+        with open(os.path.join(args.out, name), "w") as f:
             json.dump(results, f, indent=1)
-        print(f"wrote {args.out}/quality_gate.json")
+        print(f"wrote {args.out}/{name}")
 
 
 if __name__ == "__main__":

@@ -72,8 +72,9 @@ class TestPreprocessing:
         rng = np.random.RandomState(0)
         lab = np.zeros((32, 32), np.int32)
         lab[8:24, 8:24] = 1
-        out = preprocessing.partial_label_mask(rng, lab, fraction=0.2,
-                                               ignore_index=255)
+        out = preprocessing.partial_label_mask(lab, fraction=0.2,
+                                               void_classes=(0, 255),
+                                               rng=rng)
         region = (out == 1).sum()
         total = (lab == 1).sum()
         assert 0.15 * total <= region <= 0.6 * total

