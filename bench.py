@@ -91,9 +91,12 @@ def bench_arco_step_3d(steps: int = 10, warmup: int = 2, batch: int = 2,
     from arco_tpu.train.schedule import make_optimizer
 
     dtype = jnp.bfloat16
+    # bs 2+2 fits without remat (docs/PERF.md); bs >= 4+4 needs the
+    # jax.checkpoint student forwards to fit the five V-Net applications
+    # at [112,112,80] in 16 GB HBM (measured OOM at 4+4 un-remat)
     cfg = ArcoConfig(compute_eqv=True, use_eqv_loss=False,
                      use_photometric=False, use_adv_morph=False,
-                     apply_aug="cutmix", remat=False, K=36,
+                     apply_aug="cutmix", remat=(batch >= 4), K=36,
                      memobank_init="randn")
     model = net_factory_3d("vnet", in_chns=1, class_num=k, dtype=dtype)
     shape = (batch, 112, 112, 80, 1)

@@ -1,0 +1,178 @@
+"""Natural-image (Pascal-layout) method-quality gate (VERDICT r3 item 5):
+drive the REAL natural-branch CLIs — cli.train_arco_natural +
+cli.eval_natural — over a synthetic Pascal-shaped fixture on a task where
+supervised-only at the label budget demonstrably underperforms, and compare
+held-out mIoU of the full-ARCO arm against a supervised-only arm at the
+SAME step budget.
+
+Task mechanism (the 2D 'shifted' gate transplanted to RGB, see
+scripts/validate_semi_synthetic.py make_task_shifted): class identity is
+carried by intensity level, and every train image gets a random per-image
+gain/offset appearance shift while the VAL set uses a disjoint (wider)
+shift range. With only --label_num labeled images the supervised arm sees a
+handful of appearance variants and cannot generalize; the ARCO arm sees the
+shift distribution through the unlabeled stream (pseudo-label cutmix
+consistency + photometric-invariance machinery) at zero extra labels.
+
+Both arms run through cli.train_arco_natural verbatim — the supervised arm
+only zeroes the method's loss weights via the CLI's own --set hook
+(k1=k3=k4=0, eqv off), so any future wiring regression in the natural
+trainer breaks this gate too.
+
+    python scripts/validate_natural.py --seeds 0 1 2 \
+        --out docs/artifacts/quality_gate
+"""
+
+import argparse
+import contextlib
+import io
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+import numpy as np
+from PIL import Image
+
+HW = 64
+K_CLS = 4
+N_TRAIN, N_VAL = 40, 8
+LABEL_NUM = 2
+ITERS = 600
+
+
+def _shifted_rgb(rng, gain, offset):
+    """One image/label pair: intensity-coded class blobs + per-image
+    appearance shift (gain/offset), RGB uint8."""
+    label = np.zeros((HW, HW), np.uint8)
+    yy, xx = np.mgrid[0:HW, 0:HW]
+    for c in range(1, K_CLS):
+        cy, cx = rng.randint(HW // 4, 3 * HW // 4, 2)
+        r = rng.randint(HW // 10, HW // 5)
+        label[(yy - cy) ** 2 + (xx - cx) ** 2 < r * r] = c
+    base = label.astype(np.float32) / (K_CLS - 1)           # 0..1 by class
+    img = gain * base + offset + 0.06 * rng.randn(HW, HW).astype(np.float32)
+    img = np.clip(img, 0, 1)
+    rgb = np.stack([img] * 3, axis=-1)
+    rgb = rgb + 0.02 * rng.randn(HW, HW, 3).astype(np.float32)
+    return (np.clip(rgb, 0, 1) * 255).astype(np.uint8), label
+
+
+def make_fixture(root, seed):
+    """Pascal directory layout (JPEGImages/SegmentationClassAug/ImageSets).
+    Train: appearance gain in [0.6, 1.1], offset in [-0.1, 0.25].
+    Val: a disjoint, harder band (gain 0.5-0.65, offset 0.25-0.35)."""
+    rng = np.random.RandomState(seed)
+    os.makedirs(os.path.join(root, "JPEGImages"))
+    os.makedirs(os.path.join(root, "SegmentationClassAug"))
+    sets = os.path.join(root, "ImageSets", "Segmentation")
+    os.makedirs(sets)
+    names = {"train": [f"tr_{i:03d}" for i in range(N_TRAIN)],
+             "val": [f"va_{i:03d}" for i in range(N_VAL)]}
+    for split, ns in names.items():
+        with open(os.path.join(sets, f"{split}.txt"), "w") as f:
+            f.write("\n".join(ns) + "\n")
+        for n in ns:
+            if split == "train":
+                gain = rng.uniform(0.6, 1.1)
+                offset = rng.uniform(-0.1, 0.25)
+            else:
+                gain = rng.uniform(0.5, 0.65)
+                offset = rng.uniform(0.25, 0.35)
+            # labels must be PNG (palette-free grayscale), images JPEG —
+            # save losslessly enough for a 4-class intensity code
+            img, lab = _shifted_rgb(rng, gain, offset)
+            Image.fromarray(img).save(
+                os.path.join(root, "JPEGImages", f"{n}.jpg"), quality=95)
+            Image.fromarray(lab).save(
+                os.path.join(root, "SegmentationClassAug", f"{n}.png"))
+    return root
+
+
+SMALL = ["--set", "memobank_size=512", "--set", "memobank_size_bg=512",
+         "--set", "num_queries=32", "--set", "num_negatives=64",
+         "--set", "K=6", "--set", "memobank_enqueue=64"]
+SUP_OFF = ["--set", "k1=0", "--set", "k3=0", "--set", "k4=0",
+           "--set", "use_eqv_loss=false", "--set", "compute_eqv=false"]
+
+
+def run_arm(root, snap, arm, seed):
+    from arco_tpu.cli import eval_natural, train_arco_natural
+    exp = f"gate/{arm}_s{seed}"
+    argv = ["--root_path", root, "--dataset", "pascal",
+            "--label_num", str(LABEL_NUM), "--model", "unet",
+            "--crop_size", str(HW), "--num_classes", str(K_CLS),
+            "--batch_size", "4", "--max_iterations", str(ITERS),
+            "--base_lr", "0.01", "--seed", str(seed),
+            "--snapshot_dir", snap, "--exp", exp,
+            "--ckpt_every", str(ITERS), "--log_every", "100"] + SMALL
+    if arm == "sup":
+        argv += SUP_OFF
+    train_arco_natural.main(argv)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        eval_natural.main(
+            ["--root_path", root, "--dataset", "pascal",
+             "--label_num", str(LABEL_NUM), "--model", "unet",
+             "--crop_size", str(HW), "--num_classes", str(K_CLS),
+             "--snapshot_dir", snap, "--exp", exp,
+             "--iteration", str(ITERS)])
+    line = [ln for ln in buf.getvalue().splitlines()
+            if ln.strip().startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+    ap.add_argument("--iters", type=int, default=ITERS)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    global ITERS
+    ITERS = args.iters
+
+    import jax
+    results = {"task": "natural_shifted", "hw": HW, "n_train": N_TRAIN,
+               "label_num": LABEL_NUM, "iters": ITERS,
+               "backend": jax.devices()[0].platform, "runs": []}
+    work = tempfile.mkdtemp(prefix="natural_gate_")
+    try:
+        for seed in args.seeds:
+            root = os.path.join(work, f"pascal_s{seed}")
+            make_fixture(root, seed)
+            snap = os.path.join(work, f"snap_s{seed}")
+            sup = run_arm(root, snap, "sup", seed)
+            arco = run_arm(root, snap, "arco", seed)
+            run = {"seed": seed, "supervised_miou": round(sup["miou"], 4),
+                   "arco_miou": round(arco["miou"], 4),
+                   "gain": round(arco["miou"] - sup["miou"], 4),
+                   "sup_per_class": [round(x, 4)
+                                     for x in sup["per_class_iou"]],
+                   "arco_per_class": [round(x, 4)
+                                      for x in arco["per_class_iou"]]}
+            results["runs"].append(run)
+            print(json.dumps(run), flush=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    gains = [r["gain"] for r in results["runs"]]
+    results["summary"] = {
+        "mean_supervised": round(float(np.mean(
+            [r["supervised_miou"] for r in results["runs"]])), 4),
+        "mean_arco": round(float(np.mean(
+            [r["arco_miou"] for r in results["runs"]])), 4),
+        "mean_gain": round(float(np.mean(gains)), 4),
+        "min_gain": round(float(np.min(gains)), 4)}
+    print(json.dumps(results["summary"]))
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+        path = os.path.join(args.out, "quality_gate_natural.json")
+        with open(path, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
