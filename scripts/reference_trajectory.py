@@ -459,6 +459,7 @@ def main():
                                "late_means": window_means(rec),
                                "curve_loss": rec["loss"]})
         print(f"[ref seed{s}] dice {dice:.4f} wall {wall:.0f}s", flush=True)
+        _dump(args, results)
     for variant in args.arco_variants:
         for s in args.arco_seeds:
             rec, dice, wall = run_arco(args.iters, s, data, init_seed=0,
@@ -471,11 +472,9 @@ def main():
                                     "curve_loss": rec["loss"]})
             print(f"[arco/{variant} seed{s}] dice {dice:.4f} "
                   f"wall {wall:.0f}s", flush=True)
+            _dump(args, results)
 
-    os.makedirs(args.out, exist_ok=True)
-    with open(os.path.join(args.out, f"{args.tag}.json"), "w") as f:
-        json.dump(results, f, indent=1)
-
+    _dump(args, results)
     ref_d = [r["dice"] for r in results["ref"]]
     by_variant = {}
     for r in results["arco"]:
@@ -485,6 +484,13 @@ def main():
         "ref_late": (results["ref"][0]["late_means"]
                      if results["ref"] else None),
         "arco_late": results["arco"][0]["late_means"]}, indent=1))
+
+
+def _dump(args, results):
+    """Write after every completed arm so a timeout keeps partial results."""
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, f"{args.tag}.json"), "w") as f:
+        json.dump(results, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -369,9 +369,14 @@ def run_seed(task, seed, dtype, arms=("sup", "arco"), n_tune=N_TUNE,
                          use_adv_morph=False)
     arco_cfg = ArcoConfig()
     if task == "shifted3d":
-        # the 3D reference logs eqv but EXCLUDES it from the loss
-        # (train_arco_3d.py:389-398 quirk, replicated by the 3D trainer)
-        arco_cfg = dataclasses.replace(arco_cfg, use_eqv_loss=False)
+        # the 3D trainer's method config (cli/train_arco_3d.py:40-62):
+        # eqv logged but EXCLUDED from the loss (train_arco_3d.py:389-398
+        # quirk), no photometric / adv-morph (the reference's 3D
+        # batch_transform is a passthrough, augment_3d.py:209-226, and
+        # AdvMorph is a 2D velocity-field warp), randn memobank rows
+        arco_cfg = dataclasses.replace(
+            arco_cfg, use_eqv_loss=False, use_photometric=False,
+            use_adv_morph=False, memobank_init="randn")
 
     warm_p, warm_s, model = run(sup_cfg, f"[s{seed}] warmup", n_warm,
                                 img_l, lab_l, img_u, dtype, seed=seed)
