@@ -308,6 +308,20 @@ def convert_deeplab_state_dict(sd: Dict, layers=(3, 4, 6, 3)) -> Tuple[
     return to_jnp(params), to_jnp(stats)
 
 
+def convert_deeplab_2branch_state_dict(sd: Dict,
+                                       layers=(3, 4, 23, 3)) -> Tuple[
+        Dict, Dict]:
+    """Reference DeepLab_2branch (models/deeplab_2branch.py:151-218) ->
+    (params, batch_stats) for arco_tpu.models.deeplab.DeepLab2Branch.
+
+    The 2branch torch tree names its modules identically to the v2 trunk
+    (conv1/bn1, layer{1..4}, layer5.conv2d_list.{0..3}) — only the forward
+    differs (channel-split + 1024-input classifier), so the layout reuses
+    convert_deeplab_state_dict verbatim; the Flax module field names
+    (ResNetBackbone_0 / ClassifierModule_0) are shared by construction."""
+    return convert_deeplab_state_dict(sd, layers=layers)
+
+
 def merge_params(init: Dict, imported: Dict) -> Dict:
     """Recursively overlay ``imported`` onto ``init`` where leaf SHAPES
     match — the reference's caffe-like partial copy

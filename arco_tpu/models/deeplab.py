@@ -244,6 +244,38 @@ class DeepLabV3Plus(nn.Module):
         return logits, representation, feats
 
 
+class DeepLab2Branch(nn.Module):
+    """The reference's DeepLab_2branch (models/deeplab_2branch.py:199-218):
+    the same caffe-style v2 trunk, but layer4's 2048-channel output is split
+    channel-wise into two 1024-channel halves — the first is returned raw as
+    ``feature_instance``, the second is L2-normalized per pixel as
+    ``feature_part`` and ALSO feeds the v2 sum-of-dilated-convs classifier
+    (whose convs take 1024 inputs here, deeplab_2branch.py:132-148).
+
+    Forward contract (deeplab_2branch.py:218):
+        (feature_instance, feature_part, x5_logits, None)
+    at 1/8 resolution; nothing is upsampled. Factory keys
+    ``DeepLab_2branch`` / ``DeepLab50_2branch`` (model_factory.py:35-41)."""
+    num_classes: int = 21
+    layers: Sequence[int] = (3, 4, 23, 3)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        feats = ResNetBackbone(self.layers, caffe=True, output_stride=8,
+                               dtype=self.dtype)(x, train)
+        x4 = feats[-1]
+        c_n = x4.shape[-1] // 2
+        feature_instance = x4[..., :c_n]
+        x4_second = x4[..., c_n:]
+        x5 = ClassifierModule(self.num_classes, dtype=self.dtype)(x4_second)
+        norm = jnp.sqrt(jnp.sum(jnp.square(x4_second), axis=-1,
+                                keepdims=True))
+        # torch F.normalize(dim=1): eps-clamped denominator
+        feature_part = x4_second / jnp.maximum(norm, 1e-12)
+        return feature_instance, feature_part, x5, None
+
+
 class DeepLab(DeepLabV2):
     """Back-compat alias (round-3 name)."""
 
@@ -251,10 +283,18 @@ class DeepLab(DeepLabV2):
 def model_generator(model: str = "deeplabv2", backbone: str = "resnet101",
                     num_classes: int = 21, dtype=jnp.float32, **kw):
     """models/model_factory.py:19-61 dispatch ('DeepLab' keys are v2 with
-    the caffe trunk; 'deeplabv3' is DeepLabv3Plus)."""
-    layers = (3, 4, 23, 3) if "101" in backbone else (3, 4, 6, 3)
+    the caffe trunk; 'deeplabv3' is DeepLabv3Plus; 'DeepLab_2branch' /
+    'DeepLab50_2branch' are the channel-split instance/part v2
+    (model_factory.py:35-41 -> deeplab_2branch.py:258-265, ResNet-101
+    unless the key carries '50')."""
     name = model.lower()
-    if "v3" in name or "2branch" in name:
+    if "2branch" in name:
+        layers = ((3, 4, 6, 3) if "50" in name or "50" in backbone
+                  else (3, 4, 23, 3))
+        return DeepLab2Branch(num_classes=num_classes, layers=layers,
+                              dtype=dtype, **kw)
+    layers = (3, 4, 23, 3) if "101" in backbone else (3, 4, 6, 3)
+    if "v3" in name:
         return DeepLabV3Plus(num_classes=num_classes, layers=layers,
                              dtype=dtype, **kw)
     return DeepLabV2(num_classes=num_classes, layers=layers, dtype=dtype,

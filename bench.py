@@ -128,7 +128,11 @@ def _peak_hbm_gb():
     import jax
     try:
         stats = jax.local_devices()[0].memory_stats() or {}
-        return round(stats.get("peak_bytes_in_use", 0) / 2 ** 30, 2)
+        # null (not 0.0) when the backend doesn't expose the counter —
+        # e.g. subprocess children on some tunneled backends (ADVICE r4)
+        if "peak_bytes_in_use" not in stats:
+            return None
+        return round(stats["peak_bytes_in_use"] / 2 ** 30, 2)
     except Exception:
         return None
 
@@ -307,6 +311,20 @@ def child_main(backend: str, quick: bool) -> None:
             record["ref_budget_value"] = round(ips2, 3)
         except Exception as e:  # never fail the primary line
             print(f"# bs2+2 leg skipped: {e}", file=sys.stderr)
+
+    # 3D trainer-parity point (VERDICT r4 item 6): the fleet metric must
+    # capture vol/s/chip from the driver artifact, not hand-maintained docs.
+    # TPU only — the full V-Net [112,112,80] step is intractable on the CPU
+    # fallback. Best-effort within the attempt budget.
+    if not quick and backend == "tpu" and time.perf_counter() - t_start < 900:
+        try:
+            vps = bench_arco_step_3d(steps=10, batch=2)
+            record["metric_3d"] = ("ARCO-3D train step throughput "
+                                   "(112x112x80, bs 2+2)")
+            record["value_3d"] = round(vps, 3)
+            record["unit_3d"] = "volumes/sec/chip"
+        except Exception as e:
+            print(f"# 3D leg skipped: {e}", file=sys.stderr)
     print(json.dumps(record))
 
 

@@ -125,12 +125,12 @@ def run_arm(root, snap, arm, seed):
 
 
 def main():
+    global ITERS
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
     ap.add_argument("--iters", type=int, default=ITERS)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
-    global ITERS
     ITERS = args.iters
 
     import jax
