@@ -177,7 +177,12 @@ def train(cfg: TrainConfig, snapshot_path: str):
 
 
 def main(argv=None):
-    cfg = parse_args(argv)
+    base = TrainConfig()
+    # the reference pretrain optimizer is plain SGD momentum=0.9 WITHOUT
+    # nesterov (pretrain_2D.py:196-197), unlike the ARCO stage
+    # (train_arco_2d.py:248); --optim.nesterov still overrides
+    base.optim.nesterov = False
+    cfg = parse_args(argv, base=base)
     # snapshot suffix encodes the freeze config (pretrain_2D.py:313-320)
     suffix = freeze.snapshot_suffix(cfg.isd.train_encoder,
                                     cfg.isd.train_decoder)

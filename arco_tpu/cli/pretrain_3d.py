@@ -40,6 +40,9 @@ def default_3d_config() -> TrainConfig:
     cfg.optim.max_iterations = 6000
     cfg.model = "vnet"
     cfg.isd.patch_size = 20          # pretrain_3D.py:165
+    # plain SGD momentum=0.9 without nesterov (pretrain_3D.py:166-167),
+    # unlike the ARCO stage
+    cfg.optim.nesterov = False
     return cfg
 
 

@@ -387,6 +387,28 @@ def _build_medpy():
             "medpy.metric.binary": binary}
 
 
+def _build_skimage():
+    """skimage.measure backed by scipy.ndimage (dataloaders/utils.py:6 and
+    test_util.py's largest-CC use only need measure.label / regionprops'
+    area ordering; scipy.ndimage.label matches skimage's default
+    1-connectivity for that purpose)."""
+    import types
+
+    import numpy as _np
+    from scipy import ndimage as _ndi
+
+    pkg = types.ModuleType("skimage")
+    measure = types.ModuleType("skimage.measure")
+
+    def label(x, *a, **k):
+        out, _ = _ndi.label(_np.asarray(x))
+        return out
+
+    measure.label = label
+    pkg.measure = measure
+    return {"skimage": pkg, "skimage.measure": measure}
+
+
 def install_stubs():
     """Register stand-ins for packages the reference imports but this image
     lacks. Idempotent; never overwrites a real installed package."""
@@ -399,6 +421,7 @@ def install_stubs():
         "yacs": _build_yacs,
         "batchgenerators": _build_batchgenerators,
         "medpy": _build_medpy,
+        "skimage": _build_skimage,
     }
     for root, build in builders.items():
         try:

@@ -79,7 +79,10 @@ class ISDConfig:
     """Stage-1 self-distillation wrapper (model_2D.py:115, pretrain_2D.py)."""
     K: int = 36                      # queue length
     m: float = 0.99                  # EMA momentum
-    Ts: float = 0.01                 # student temperature
+    # effective reference defaults are the pretrain scripts' argparse values
+    # T_s = T_t = 0.1 (pretrain_2D.py:80-81, pretrain_3D.py:80-81) — NOT the
+    # ISD class defaults (0.1, 0.01), which the scripts always override
+    Ts: float = 0.1                  # student temperature
     Tt: float = 0.1                  # teacher temperature
     latent_pooling_size: int = 1
     latent_feature_size: int = 512
@@ -284,6 +287,11 @@ REFERENCE_FLAG_MAP = {
     "latent_pooling_size": "isd.latent_pooling_size",
     "latent_feature_size": "isd.latent_feature_size",
     "output_pooling_size": "isd.output_pooling_size",
+    # pretrain-only reference flags (pretrain_2D.py:80-82): temperatures and
+    # the contrastive patch window (--cut_size feeds ISD(patch_size=...))
+    "T_s": "isd.Ts",
+    "T_t": "isd.Tt",
+    "cut_size": "isd.patch_size",
     "train_encoder": "isd.train_encoder",
     "train_decoder": "isd.train_decoder",
     "func": "arco.func",
