@@ -190,6 +190,52 @@ def make_task_striped(rng, n, thetas=None):
     return np.stack(images), np.stack(labels)
 
 
+NOISE3D, LABELED3D = 0.22, 4
+
+
+def make_task_noisy3d(rng, n, sigma=None):
+    """3D gate task matched to the 3D method's ACTUAL mechanism set.
+
+    The reference's volumetric ARCO has NO photometric bridge — its 3D
+    batch_transform is a passthrough (augment_3d.py:209-226) and AdvMorph
+    is 2D-only — so the appearance-shift ('shifted') mechanism cannot work
+    there: pseudo-labels start wrong off-canon and cutmix consistency
+    entrenches them (measured: quality_gate_shifted3d run, mean gain
+    -0.012, worst seed -0.066 — the same confirmation-bias mode as the 2D
+    cal1/cal2 history). What the 3D recipe DOES provide is label
+    amplification: EMA-teacher pseudo-labels + cutmix consistency over
+    the unlabeled stream regularize decision boundaries that a 2-volume
+    labeled set cannot pin down. This task targets exactly that:
+    canonical appearance everywhere, intensity-coded classes whose level
+    gaps (~0.27) are comparable to the noise sigma (0.26), so per-voxel
+    classification is unreliable and supervised-only overfits the two
+    labeled volumes' noise realizations."""
+    X, Y, Z = VOL
+    xs = np.linspace(-1, 1, X)
+    ys = np.linspace(-1, 1, Y)
+    zz = np.linspace(-1, 1, Z)
+    gx, gy, gz = np.meshgrid(xs, ys, zz, indexing="ij")
+    levels = np.array([0.35, 0.62, 0.88], np.float32)
+    images, labels = [], []
+    for i in range(n):
+        fields = []
+        for c in range(K - 1):
+            f = np.zeros(VOL, np.float32)
+            for _ in range(3):
+                cx, cy, cz = rng.uniform(-0.6, 0.6, 3)
+                s = rng.uniform(0.15, 0.35)
+                f += np.exp(-((gx - cx) ** 2 + (gy - cy) ** 2
+                              + (gz - cz) ** 2) / (2 * s * s))
+            fields.append(f)
+        stack = np.stack([0.55 * np.ones(VOL, np.float32)] + fields)
+        label = stack.argmax(0).astype(np.int32)
+        image = np.clip(levels[label]
+                        + (sigma or NOISE3D) * rng.randn(*VOL), 0.0, 1.5)
+        images.append(image.astype(np.float32)[..., None])
+        labels.append(label)
+    return np.stack(images), np.stack(labels)
+
+
 def make_task_shifted3d(rng, n, gains=None, offsets=None):
     """3D gate task: the 'shifted' mechanism on LA-shaped volumes.
 
@@ -234,6 +280,15 @@ def make_task_shifted3d(rng, n, gains=None, offsets=None):
 
 def make_data(task, seed):
     rng = np.random.RandomState(seed)
+    if task == "noisy3d":
+        # 4 labeled volumes (not the 2D gate's 2): a (64,64,32) volume
+        # carries ~8x fewer voxels than a 256^2 slice pair, and 2-volume
+        # labeled sets made task difficulty swing wildly across seeds
+        # (warmup dice 0.50 vs 0.82 between seeds in the first run)
+        img_l, lab_l = make_task_noisy3d(rng, LABELED3D)
+        img_u, _ = make_task_noisy3d(rng, N_UNLABELED)
+        img_v, lab_v = make_task_noisy3d(rng, N_VAL)
+        return img_l, lab_l, img_u, img_v, lab_v
     if task == "shifted3d":
         img_l, lab_l = make_task_shifted3d(
             rng, N_LABELED, gains=np.ones(N_LABELED),
@@ -368,7 +423,7 @@ def run_seed(task, seed, dtype, arms=("sup", "arco"), n_tune=N_TUNE,
                          use_eqv_loss=False, use_photometric=False,
                          use_adv_morph=False)
     arco_cfg = ArcoConfig()
-    if task == "shifted3d":
+    if task in ("shifted3d", "noisy3d"):
         # the 3D trainer's method config (cli/train_arco_3d.py:40-62):
         # eqv logged but EXCLUDED from the loss (train_arco_3d.py:389-398
         # quirk), no photometric / adv-morph (the reference's 3D
@@ -401,6 +456,24 @@ def run_seed(task, seed, dtype, arms=("sup", "arco"), n_tune=N_TUNE,
         out["arco_buckets"] = evaluate_buckets(m, p, s, img_v, lab_v)
         print(f"[s{seed}] ARCO dice: {out['arco_dice']:.4f} "
               f"buckets={out['arco_buckets']}", flush=True)
+    # per-term diagnostic arms (3D collapse triage): the full-ARCO cfg with
+    # one method term disabled each — identifies WHICH term moves the arm
+    term_arms = {
+        "arco_nounsup": dict(compute_unsup=False),
+        "arco_norevisit": dict(compute_revisit=False),
+        "arco_noreco": dict(compute_contrastive=False),
+        "arco_unsuponly": dict(compute_revisit=False,
+                               compute_contrastive=False),
+    }
+    for arm, delta in term_arms.items():
+        if arm not in arms:
+            continue
+        acfg = dataclasses.replace(arco_cfg, **delta)
+        p, s, m = run(acfg, f"[s{seed}] arm {arm}", n_tune, img_l, lab_l,
+                      img_u, dtype, warm_p, warm_s, seed=seed + 1)
+        out[f"{arm}_dice"] = evaluate(m, p, s, img_v, lab_v)
+        print(f"[s{seed}] {arm} dice: {out[f'{arm}_dice']:.4f}", flush=True)
+
     if "sup" in arms and "arco" in arms:
         out["gain"] = round(out["arco_dice"] - out["supervised_dice"], 4)
     return out
@@ -409,22 +482,32 @@ def run_seed(task, seed, dtype, arms=("sup", "arco"), n_tune=N_TUNE,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--task", default="shifted",
-                    choices=["blobs", "shifted", "striped", "shifted3d"])
+                    choices=["blobs", "shifted", "striped", "shifted3d",
+                             "noisy3d"])
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
     ap.add_argument("--arms", nargs="+", default=["sup", "arco"])
     ap.add_argument("--tune-steps", type=int, default=N_TUNE)
     ap.add_argument("--warm-steps", type=int, default=N_WARM)
+    ap.add_argument("--noise3d", type=float, default=None,
+                    help="noisy3d noise sigma override (collapse-regime "
+                         "triage used 0.26)")
+    ap.add_argument("--labeled3d", type=int, default=None,
+                    help="noisy3d labeled-volume count override")
     ap.add_argument("--out", default=None,
                     help="artifact dir; writes quality_gate.json")
     args = ap.parse_args()
 
+    if args.noise3d is not None:
+        globals()["NOISE3D"] = args.noise3d
+    if args.labeled3d is not None:
+        globals()["LABELED3D"] = args.labeled3d
     on_cpu = jax.devices()[0].platform == "cpu"
     dtype = jnp.float32 if on_cpu else jnp.bfloat16
     results = {"task": args.task, "hw": HW, "n_labeled": N_LABELED,
                "n_unlabeled": N_UNLABELED, "warm_steps": args.warm_steps,
                "tune_steps": args.tune_steps,
                "backend": jax.devices()[0].platform, "runs": []}
-    if args.task == "shifted3d":
+    if args.task in ("shifted3d", "noisy3d"):
         results["vol"] = list(VOL)
         results["batch"] = [B3_L, B3 - B3_L]
     for s in args.seeds:
