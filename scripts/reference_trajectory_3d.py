@@ -326,7 +326,7 @@ def run_reference(iters, seed, data, num_queries=32, num_negatives=64):
 
 
 def run_arco(iters, seed, data, init_seed, num_queries=32,
-             num_negatives=64, enqueue_per_class=None):
+             num_negatives=64, enqueue_per_class=None, compute_eqv=True):
     """arco_tpu 3D trainer at the matched config, initialized from the SAME
     reference weights (converted)."""
     import dataclasses
@@ -358,7 +358,7 @@ def run_arco(iters, seed, data, init_seed, num_queries=32,
     cfg = dataclasses.replace(
         ArcoConfig(), num_queries=num_queries,
         num_negatives=num_negatives, K=POOL_K, topk=TOPK, func="asmc",
-        use_eqv_loss=False, compute_eqv=True, use_photometric=False,
+        use_eqv_loss=False, compute_eqv=compute_eqv, use_photometric=False,
         use_adv_morph=False, memobank_init="randn", remat=False)
     if enqueue_per_class:
         # bank-composition knob (diag3d finding): the loss is EXACT on a
@@ -439,6 +439,11 @@ def main():
     ap.add_argument("--enqueue-per-class", type=int, default=None,
                     help="override ArcoConfig.memobank_enqueue (bank-"
                          "composition attribution, diag3d)")
+    ap.add_argument("--no-eqv-forward", action="store_true",
+                    help="skip the log-only eqv forward on the arco arm "
+                         "(3D cadence measurement: train_arco_3d.py:390-391"
+                         " excludes eqv from the loss, so the forward only "
+                         "nudges BN stats)")
     ap.add_argument("--out", default="docs/artifacts/ref_parity")
     ap.add_argument("--tag", default="trajectory_3d")
     args = ap.parse_args()
@@ -463,7 +468,8 @@ def main():
         rec, dice, wall = run_arco(args.iters, s, data, init_seed=0,
                                    num_queries=args.num_queries,
                                    num_negatives=args.num_negatives,
-                                   enqueue_per_class=args.enqueue_per_class)
+                                   enqueue_per_class=args.enqueue_per_class,
+                                   compute_eqv=not args.no_eqv_forward)
         results["arco"].append({"seed": s, "dice": dice, "wall_s": wall,
                                 "late_means": window_means(rec),
                                 "curve_loss": rec["loss"]})

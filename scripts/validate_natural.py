@@ -92,7 +92,7 @@ def make_fixture(root, seed):
 
 SMALL = ["--set", "memobank_size=512", "--set", "memobank_size_bg=512",
          "--set", "num_queries=32", "--set", "num_negatives=64",
-         "--set", "K=6", "--set", "memobank_enqueue=64"]
+         "--set", "K=8", "--set", "memobank_enqueue=64"]
 SUP_OFF = ["--set", "k1=0", "--set", "k3=0", "--set", "k4=0",
            "--set", "use_eqv_loss=false", "--set", "compute_eqv=false"]
 

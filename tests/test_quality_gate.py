@@ -41,8 +41,11 @@ ART_DIR = os.path.join(os.path.dirname(__file__), "..", "docs", "artifacts",
 #   - any seed regresses materially (min_gain)
 FAMILIES = {
     # task -> (artifact file, sup ceiling, min mean gain, min seed gain)
+    # striped min-seed raised 0.0 -> 0.10 (VERDICT r4 item 8): the
+    # committed seeds gain 0.19/0.25/0.26, so a seed that ties
+    # supervised-only is a real regression, not noise
     "shifted": ("quality_gate.json", 0.93, 0.03, 0.02),
-    "striped": ("quality_gate_striped.json", 0.93, 0.03, 0.0),
+    "striped": ("quality_gate_striped.json", 0.93, 0.10, 0.10),
     "natural_shifted": ("quality_gate_natural.json", 0.90, 0.03, 0.0),
 }
 
