@@ -55,6 +55,10 @@ def build_parser():
                    choices=["unet", "deeplabv2", "deeplabv3"])
     p.add_argument("--backbone", type=str, default="resnet101",
                    choices=["resnet50", "resnet101"])
+    p.add_argument("--resume_snapshot", type=str, default=None,
+                   help="snapshot dir whose latest iter_<N> model "
+                        "checkpoint seeds the model (warmup handoff, "
+                        "analog of the 2D --resume)")
     p.add_argument("--restore_from", type=str, default=None,
                    help="local torch checkpoint for the DeepLab trunk "
                         "(partial copy, model_factory.py:55-60 semantics)")
@@ -139,6 +143,20 @@ def main(argv=None):
     tx = make_optimizer(args.base_lr, args.max_iterations)
 
     model_params = model_batch_stats = None
+    if args.resume_snapshot:
+        # warmup/stage handoff: seed the model (student AND EMA via
+        # init_arco_state's copy) from another run's iter_<N> model
+        # checkpoint — the natural-branch analog of the 2D --resume
+        # handoff (train_arco_2d.py:223-226)
+        step = ckpt.latest_step(args.resume_snapshot)
+        if step is None:
+            raise SystemExit(
+                f"--resume_snapshot: no iter_<N> checkpoint under "
+                f"{args.resume_snapshot}")
+        model_params, model_batch_stats = ckpt.load_model_params(
+            args.resume_snapshot, step, None, None)
+        logging.info("initialized model from %s iter_%d",
+                     args.resume_snapshot, step)
     if args.restore_from:
         import torch
         from arco_tpu.compat.torch_import import (convert_deeplab_state_dict,

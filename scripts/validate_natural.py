@@ -40,6 +40,33 @@ K_CLS = 4
 N_TRAIN, N_VAL = 40, 8
 LABEL_NUM = 2
 ITERS = 600
+MECHANISM = "shifted"
+
+
+def _striped_rgb(rng, theta_deg):
+    """Orientation-coded texture classes (the 2D 'striped' gate's
+    mechanism — its committed 2D run gains +0.19..0.26/seed): both
+    foreground classes share the background's mean intensity; classes
+    differ by stripe FREQUENCY, every image draws one orientation. Two
+    theta=0 labeled images can't teach orientation invariance; the ARCO
+    recipe's TPS-eqv warp rotates +-60 deg and chains it outward."""
+    label = np.zeros((HW, HW), np.uint8)
+    yy, xx = np.mgrid[0:HW, 0:HW]
+    for c in range(1, K_CLS):
+        cy, cx = rng.randint(HW // 4, 3 * HW // 4, 2)
+        r = rng.randint(HW // 8, HW // 4)
+        label[(yy - cy) ** 2 + (xx - cx) ** 2 < r * r] = c
+    th = theta_deg * np.pi / 180.0
+    px = (xx * np.cos(th) + yy * np.sin(th))
+    periods = {1: 14.0, 2: 7.0, 3: 3.5}
+    img = np.full((HW, HW), 0.5, np.float32)
+    for c, period in periods.items():
+        tex = 0.5 + 0.3 * np.sin(2 * np.pi * px / period)
+        img = np.where(label == c, tex, img)
+    img = np.clip(img + 0.08 * rng.randn(HW, HW), 0.0, 1.0)
+    rgb = np.stack([img] * 3, axis=-1)
+    rgb = rgb + 0.02 * rng.randn(HW, HW, 3).astype(np.float32)
+    return (np.clip(rgb, 0, 1) * 255).astype(np.uint8), label
 
 
 def _shifted_rgb(rng, gain, offset):
@@ -51,8 +78,14 @@ def _shifted_rgb(rng, gain, offset):
         cy, cx = rng.randint(HW // 4, 3 * HW // 4, 2)
         r = rng.randint(HW // 10, HW // 5)
         label[(yy - cy) ** 2 + (xx - cx) ** 2 < r * r] = c
-    base = label.astype(np.float32) / (K_CLS - 1)           # 0..1 by class
-    img = gain * base + offset + 0.06 * rng.randn(HW, HW).astype(np.float32)
+    # AFFINE level code (the 2D gate's structure): gain maps a lower
+    # class's level onto a higher class's CANONICAL level at finite gain
+    # (0.36->0.52 at g~1.44, 0.52->0.68 at g~1.31), so canon-threshold
+    # classifiers fail at high gain — while a proportional 0..scale code
+    # never crosses. Top level 0.68 keeps gain 1.45 unclipped (0.99).
+    levels = np.array([0.2, 0.36, 0.52, 0.68], np.float32)
+    base = levels[label]
+    img = gain * base + offset + 0.05 * rng.randn(HW, HW).astype(np.float32)
     img = np.clip(img, 0, 1)
     rgb = np.stack([img] * 3, axis=-1)
     rgb = rgb + 0.02 * rng.randn(HW, HW, 3).astype(np.float32)
@@ -61,8 +94,16 @@ def _shifted_rgb(rng, gain, offset):
 
 def make_fixture(root, seed):
     """Pascal directory layout (JPEGImages/SegmentationClassAug/ImageSets).
-    Train: appearance gain in [0.6, 1.1], offset in [-0.1, 0.25].
-    Val: a disjoint, harder band (gain 0.5-0.65, offset 0.25-0.35)."""
+
+    Appearance regime calibrated like the committed 2D 'shifted' gate
+    (quality_gate/README.md cal1-cal4): one-sided brighter-only gains so
+    SNR never drops below canon (dimmer-side shift is ill-posed — class
+    levels collapse into each other and BOTH arms fail), the first
+    LABEL_NUM train images pinned at canonical appearance (they are the
+    class-balanced labeled picks at label_num=2), and VAL drawn from the
+    SAME distribution the unlabeled stream spans — a val band disjoint
+    from the unlabeled support cannot be bridged by any semi-supervised
+    mechanism (the first committed run's -0.138 design flaw #2)."""
     rng = np.random.RandomState(seed)
     os.makedirs(os.path.join(root, "JPEGImages"))
     os.makedirs(os.path.join(root, "SegmentationClassAug"))
@@ -73,13 +114,29 @@ def make_fixture(root, seed):
     for split, ns in names.items():
         with open(os.path.join(sets, f"{split}.txt"), "w") as f:
             f.write("\n".join(ns) + "\n")
-        for n in ns:
-            if split == "train":
-                gain = rng.uniform(0.6, 1.1)
-                offset = rng.uniform(-0.1, 0.25)
+        for i, n in enumerate(ns):
+            if MECHANISM == "striped":
+                if split == "train" and i < LABEL_NUM:
+                    theta = 0.0                 # canonical labeled picks
+                elif split == "train":
+                    theta = rng.uniform(0.0, 90.0)
+                else:
+                    theta = np.linspace(0.0, 90.0, N_VAL)[i]
+                img, lab = _striped_rgb(rng, theta)
+                Image.fromarray(img).save(
+                    os.path.join(root, "JPEGImages", f"{n}.jpg"),
+                    quality=95)
+                Image.fromarray(lab).save(
+                    os.path.join(root, "SegmentationClassAug", f"{n}.png"))
+                continue
+            if split == "train" and i < LABEL_NUM:
+                gain, offset = 1.0, 0.0          # canonical labeled picks
+            elif split == "train":
+                gain = rng.uniform(1.0, 1.45)
+                offset = rng.uniform(-0.08, 0.08)
             else:
-                gain = rng.uniform(0.5, 0.65)
-                offset = rng.uniform(0.25, 0.35)
+                gain = np.linspace(1.0, 1.45, N_VAL)[i]
+                offset = rng.uniform(-0.08, 0.08)
             # labels must be PNG (palette-free grayscale), images JPEG —
             # save losslessly enough for a 4-class intensity code
             img, lab = _shifted_rgb(rng, gain, offset)
@@ -97,19 +154,32 @@ SUP_OFF = ["--set", "k1=0", "--set", "k3=0", "--set", "k4=0",
            "--set", "use_eqv_loss=false", "--set", "compute_eqv=false"]
 
 
-def run_arm(root, snap, arm, seed):
+WARM_ITERS = 300
+
+
+def run_arm(root, snap, arm, seed, warm_snapshot=None):
+    """arm='warm' runs the shared supervised warmup; 'sup'/'arco' continue
+    from it via --resume_snapshot (protocol parity with the 2D/3D gates and
+    the reference's two-stage recipe — cold-starting ARCO feeds garbage
+    pseudo-labels and collapses whole classes; measured in the first
+    committed natural run: mean gain -0.138, arco per-class IoUs of 0.0)."""
     from arco_tpu.cli import eval_natural, train_arco_natural
     exp = f"gate/{arm}_s{seed}"
+    iters = WARM_ITERS if arm == "warm" else ITERS
     argv = ["--root_path", root, "--dataset", "pascal",
             "--label_num", str(LABEL_NUM), "--model", "unet",
             "--crop_size", str(HW), "--num_classes", str(K_CLS),
-            "--batch_size", "4", "--max_iterations", str(ITERS),
+            "--batch_size", "4", "--max_iterations", str(iters),
             "--base_lr", "0.01", "--seed", str(seed),
             "--snapshot_dir", snap, "--exp", exp,
-            "--ckpt_every", str(ITERS), "--log_every", "100"] + SMALL
-    if arm == "sup":
+            "--ckpt_every", str(iters), "--log_every", "100"] + SMALL
+    if arm in ("sup", "warm"):
         argv += SUP_OFF
+    if warm_snapshot:
+        argv += ["--resume_snapshot", warm_snapshot]
     train_arco_natural.main(argv)
+    if arm == "warm":
+        return os.path.join(snap, f"{exp}_{LABEL_NUM}_labeled", "unet")
 
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -129,13 +199,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
     ap.add_argument("--iters", type=int, default=ITERS)
+    ap.add_argument("--mechanism", choices=["shifted", "striped"],
+                    default="shifted")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     ITERS = args.iters
+    globals()["MECHANISM"] = args.mechanism
 
     import jax
-    results = {"task": "natural_shifted", "hw": HW, "n_train": N_TRAIN,
+    results = {"task": f"natural_{MECHANISM}", "hw": HW,
+               "n_train": N_TRAIN,
                "label_num": LABEL_NUM, "iters": ITERS,
+               "warm_iters": WARM_ITERS,
                "backend": jax.devices()[0].platform, "runs": []}
     work = tempfile.mkdtemp(prefix="natural_gate_")
     try:
@@ -143,8 +218,9 @@ def main():
             root = os.path.join(work, f"pascal_s{seed}")
             make_fixture(root, seed)
             snap = os.path.join(work, f"snap_s{seed}")
-            sup = run_arm(root, snap, "sup", seed)
-            arco = run_arm(root, snap, "arco", seed)
+            warm = run_arm(root, snap, "warm", seed)
+            sup = run_arm(root, snap, "sup", seed, warm_snapshot=warm)
+            arco = run_arm(root, snap, "arco", seed, warm_snapshot=warm)
             run = {"seed": seed, "supervised_miou": round(sup["miou"], 4),
                    "arco_miou": round(arco["miou"], 4),
                    "gain": round(arco["miou"] - sup["miou"], 4),
