@@ -46,6 +46,15 @@ def default_3d_config() -> TrainConfig:
     cfg.model = "vnet"
     cfg.arco.use_eqv_loss = False
     cfg.arco.compute_eqv = True
+    # DEFAULT ON from round 5: the eqv term is excluded from the 3D loss
+    # (train_arco_3d.py:390-391), so the every-step forward only nudges BN
+    # running stats — and the paired 3-seed trajectory measurement
+    # (docs/artifacts/ref_parity/trajectory_3d_arco_noeqv.json vs
+    # trajectory_3d_arco_s012.json) shows the nudge HURTS end Dice on all
+    # three seeds (-0.054/-0.012/-0.038) while the leg costs ~43% of the
+    # step (767 -> ~435 ms). eqv is still computed exactly on logging
+    # iterations; --arco.eqv_on_log_only false restores every-step parity.
+    cfg.arco.eqv_on_log_only = True
     cfg.arco.use_photometric = False
     cfg.arco.use_adv_morph = False
     # Round-1 needed remat (jax.checkpoint on the student forwards) to fit

@@ -164,10 +164,13 @@ class ArcoConfig:
     # of every step. Applies only when compute_eqv is on and use_eqv_loss is
     # off (the 3D path): measured 767 -> ~435 ms/step on chip, because the
     # eqv leg (slice-wise 3D TPS gather + 6th V-Net forward) costs ~43% of
-    # the step to produce a scalar the total loss never sees. Off by
-    # default: the reference computes it every iteration, and its 6th
-    # forward also nudges BN running stats — skipping it between logging
-    # points is a (tiny, documented) BN-trajectory deviation.
+    # the step to produce a scalar the total loss never sees. The dataclass
+    # default stays False (2D keeps eqv in the loss), but the 3D CLI turns
+    # it ON: the every-step forward's only training effect is a BN-stat
+    # nudge, and the paired 3-seed measurement (ref_parity/
+    # trajectory_3d_arco_noeqv.json) shows that nudge hurts end Dice on
+    # all three seeds. --arco.eqv_on_log_only false restores every-step
+    # reference parity.
     eqv_on_log_only: bool = False
     # 2D strong augmentation (color jitter + blur + AdvMorph); the 3D
     # reference's batch_transform is a passthrough (augment_3d.py:209-226)

@@ -93,8 +93,12 @@ def bench_arco_step_3d(steps: int = 10, warmup: int = 2, batch: int = 2,
     dtype = jnp.bfloat16
     # bs 2+2 fits without remat (docs/PERF.md); bs >= 4+4 needs the
     # jax.checkpoint student forwards to fit the five V-Net applications
-    # at [112,112,80] in 16 GB HBM (measured OOM at 4+4 un-remat)
-    cfg = ArcoConfig(compute_eqv=True, use_eqv_loss=False,
+    # at [112,112,80] in 16 GB HBM (measured OOM at 4+4 un-remat).
+    # compute_eqv=False models the 3D trainer's steady-state step: from
+    # round 5 the CLI defaults to eqv_on_log_only (the log-only eqv
+    # forward's BN nudge measurably hurts end Dice and costs ~43% of the
+    # step — see cli/train_arco_3d.py:default_3d_config)
+    cfg = ArcoConfig(compute_eqv=False, use_eqv_loss=False,
                      use_photometric=False, use_adv_morph=False,
                      apply_aug="cutmix", remat=(batch >= 4), K=36,
                      memobank_init="randn")
