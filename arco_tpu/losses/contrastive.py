@@ -219,10 +219,15 @@ def compute_contra_memobank_loss(
     # proto_k = sum_n rep_t[n] * low_valid[n, k] / count_k
     low_valid_flat = low_valid_all.reshape(-1, num_classes)
     n_low_all = jnp.sum(low_valid_flat.astype(jnp.int32), axis=0)   # [K]
+    # bf16 operands + f32 accumulation: numerically identical to casting
+    # the (GB-scale) teacher reps to f32 first — the products are of the
+    # same bf16-rounded values either way — but skips materializing the
+    # 2x-sized f32 copy in HBM before the contraction
     protos_all = jnp.einsum(
-        "nc,nk->kc", rep_t_flat.astype(jnp.float32),
-        low_valid_flat.astype(jnp.float32),
-        precision=jax.lax.Precision.DEFAULT)
+        "nc,nk->kc", rep_t_flat,
+        low_valid_flat.astype(rep_t_flat.dtype),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32)
     protos_all = protos_all / jnp.maximum(n_low_all, 1)[:, None]
 
     k_anchor, k_neg, k_enq = jax.random.split(rng, 3)
@@ -287,6 +292,23 @@ def compute_contra_memobank_loss(
 
 def descending_rank(prob: jnp.ndarray) -> jnp.ndarray:
     """rank_all[..., i] = position of class i in the descending sort of the
-    class axis (torch.sort(prob, 1, True) parity incl. stable tie order)."""
+    class axis (torch.sort(prob, 1, True) parity incl. stable tie order).
+
+    For the class counts this loss sees (K <= ~20) the rank is a pairwise
+    comparison count: rank_i = #{j : p_j > p_i or (p_j == p_i and j < i)}
+    — K^2 elementwise ops instead of TWO full argsorts over the pixel
+    volume. On TPU the sorts are bitonic ladders: at 2D 256^2 bs 8 this
+    was the contrastive block's dominant cost (scripts/perf_probe_2d.py
+    measured the block at 37 ms/step; the argsorts most of it). The
+    comparison count reproduces argsort(argsort) EXACTLY including the
+    stable tie order (ties broken by ascending index)."""
+    k = prob.shape[-1]
+    if k <= 32:
+        a = prob[..., :, None]          # p_i
+        b = prob[..., None, :]          # p_j
+        idx = jnp.arange(k, dtype=jnp.int32)
+        earlier = idx[None, :] < idx[:, None]   # j < i
+        wins = (b > a) | ((b == a) & earlier)
+        return jnp.sum(wins.astype(jnp.int32), axis=-1)
     order = jnp.argsort(-prob, axis=-1, stable=True)
     return jnp.argsort(order, axis=-1).astype(jnp.int32)

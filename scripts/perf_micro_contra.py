@@ -106,13 +106,16 @@ def main():
             lambda aa, pp, bb, nn: sampled_infonce(
                 aa, pp, bb, nn, 0.5, bank_normalized=True))(a, p, bk, ni)),
         anchor_feat, protos, bank.data, neg_idx)
-    rows["full"] = timeit(
-        "full",
-        jax.jit(lambda k: compute_contra_memobank_loss(
-            k, rep, onehot, prob, rank, is_labeled, label_l_padded, low,
-            high, rep_t, bank, delta_n=0.97, func="asmc", num_queries=Q,
-            num_negatives=N)[1]),
-        jax.random.PRNGKey(1))
+    # args passed positionally — a closure bakes the GB-scale reps into
+    # the program as constants (2.5 GB captured, enormous compile)
+    full_fn = jax.jit(lambda k, rep_, oh, pr, rk, lab_, lp, lo, hi, rt, bk:
+                      compute_contra_memobank_loss(
+                          k, rep_, oh, pr, rk, lab_, lp, lo, hi, rt, bk,
+                          delta_n=0.97, func="asmc", num_queries=Q,
+                          num_negatives=N)[1])
+    rows["full"] = timeit("full", full_fn, jax.random.PRNGKey(1), rep,
+                          onehot, prob, rank, is_labeled, label_l_padded,
+                          low, high, rep_t, bank)
     print(json.dumps(rows))
 
 
