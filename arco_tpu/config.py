@@ -103,6 +103,12 @@ class ISDConfig:
 class ArcoConfig:
     """Stage-2 ARCO method hyper-parameters (train_arco_2d.py:56-89)."""
     strong_threshold: float = 0.97
+    # beyond-parity: FixMatch-style confidence masking of the unsup CE
+    # (losses/consistency.py docstring) — the reference formula trains ALL
+    # valid pixels at a scalar weight, which is the sole collapsing term
+    # of the 3D gates in noise-dominated regimes; default False keeps
+    # reference semantics
+    unsup_conf_mask: bool = False
     strong_threshold_u2pl: float = 0.97
     weak_threshold: float = 0.7
     temp: float = 0.5

@@ -16,19 +16,33 @@ import jax.numpy as jnp
 from arco_tpu.losses.supervised import cross_entropy
 
 
-def compute_unsupervised_loss(predict, target, logits, strong_threshold):
+def compute_unsupervised_loss(predict, target, logits, strong_threshold,
+                              conf_mask: bool = False):
     """Confidence-weighted CE (train_arco_2d.py:482-489).
 
     predict: [B, ..., K] logits; target: [B, ...] int pseudo-labels (-1 =
     void); logits: [B, ...] pseudo-label confidences.
     weighting_b = #(conf >= tau) / #(valid) per sample; loss = mean over
     strictly-positive CE entries of weighting * CE.
+
+    conf_mask=False is the REFERENCE formula: the scalar weight scales CE
+    over ALL valid pixels, so low-confidence WRONG pseudo-labels still
+    train the student. In noise-dominated regimes that amplifies teacher
+    errors through the EMA loop — measured as the sole collapsing term of
+    the 3D quality gates (docs/artifacts/quality_gate/
+    noisy3d_term_triage.json: removing unsup recovers 0.47->0.77).
+    conf_mask=True (beyond-parity, --arco.unsup_conf_mask) restricts the
+    CE itself to confident pixels (FixMatch-style), the standard
+    mitigation; the per-sample weighting is kept so the term's scale is
+    comparable across the switch.
     """
     b = predict.shape[0]
     valid_mask = (target >= 0).astype(jnp.float32)
     strong = (logits.reshape(b, -1) >= strong_threshold).sum(-1)
     weighting = strong / jnp.maximum(valid_mask.reshape(b, -1).sum(-1), 1e-12)
     loss = cross_entropy(predict, target, ignore_index=-1, reduction="none")
+    if conf_mask:
+        loss = loss * (logits >= strong_threshold).astype(loss.dtype)
     w = weighting.reshape((b,) + (1,) * (loss.ndim - 1))
     pos = (loss > 0).astype(jnp.float32)
     return jnp.sum(w * loss * pos) / jnp.maximum(jnp.sum(pos), 1)

@@ -293,8 +293,9 @@ def arco_loss_fn(params, state: ArcoState, modules: ArcoModules, cfg, batch,
     supervised = loss_ce + loss_dice
 
     if cfg.compute_unsup:
-        unsup = compute_unsupervised_loss(pred_u, u_aug_label, u_aug_logits,
-                                          cfg.strong_threshold)
+        unsup = compute_unsupervised_loss(
+            pred_u, u_aug_label, u_aug_logits, cfg.strong_threshold,
+            conf_mask=getattr(cfg, "unsup_conf_mask", False))
     else:
         unsup = jnp.array(0.0, jnp.float32)
 

@@ -464,6 +464,9 @@ def run_seed(task, seed, dtype, arms=("sup", "arco"), n_tune=N_TUNE,
         "arco_noreco": dict(compute_contrastive=False),
         "arco_unsuponly": dict(compute_revisit=False,
                                compute_contrastive=False),
+        # the beyond-parity mitigation: full ARCO with the unsup CE
+        # confidence-masked (FixMatch-style, --arco.unsup_conf_mask)
+        "arco_confmask": dict(unsup_conf_mask=True),
     }
     for arm, delta in term_arms.items():
         if arm not in arms:

@@ -242,6 +242,22 @@ class TestContrastive:
             np.put_along_axis(ref_rank, cls[..., None], r, axis=-1)
         np.testing.assert_array_equal(ours, ref_rank)
 
+    def test_descending_rank_tie_order_and_fallback(self, rng):
+        """The K^2 comparison-count fast path (K <= 32) must equal the
+        stable argsort(argsort) construction INCLUDING tie order, and the
+        large-K fallback must agree with it too."""
+        prob = rng.rand(3, 5, 5, 8).astype(np.float32)
+        prob[..., 2] = prob[..., 0]          # forced ties
+        prob[..., 5] = prob[..., 0]
+        fast = np.asarray(contrastive.descending_rank(jnp.array(prob)))
+        order = jnp.argsort(-jnp.array(prob), axis=-1, stable=True)
+        slow = np.asarray(jnp.argsort(order, axis=-1))
+        np.testing.assert_array_equal(fast, slow)
+        # every rank appears exactly once per pixel
+        np.testing.assert_array_equal(np.sort(fast, -1),
+                                      np.broadcast_to(np.arange(8),
+                                                      fast.shape))
+
     def test_sampled_infonce_matches_direct(self, rng):
         q, n, c, cap = 8, 4, 16, 64
         anchor = rng.randn(q, c).astype(np.float32)

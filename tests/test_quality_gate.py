@@ -53,6 +53,14 @@ FAMILIES = {
     # fixes (warmup + in-support val): mean +0.0145 — kept in git history
     # as calibration evidence.
     "natural_striped": ("quality_gate_natural.json", 0.90, 0.05, 0.04),
+    # the 3D gate passes with the beyond-parity --arco.unsup_conf_mask
+    # flag (FixMatch-style masking of the unsup CE): gains
+    # +0.116/+0.044/+0.032 over supervised-only on the exact regime where
+    # the reference formula collapses (see DIAGNOSTIC_3D + the triage
+    # artifact). Pins the MITIGATED arm; the reference-formula arm's
+    # negative results stay pinned as diagnostics below.
+    "noisy3d_confmask": ("quality_gate_noisy3d_confmask.json",
+                         0.93, 0.03, 0.02),
 }
 
 # 3D runs are committed as DIAGNOSTIC artifacts, not gates: on this
