@@ -122,3 +122,44 @@ def test_natural_eval_output_schema(pascal_root, tmp_path, capsys):
     assert set(rec) == {"iteration", "miou", "per_class_iou"}
     assert len(rec["per_class_iou"]) == 4
     assert 0.0 <= rec["miou"] <= 1.0
+
+
+def test_resume_snapshot_handoff(pascal_root, tmp_path):
+    """--resume_snapshot seeds the model (student AND EMA) from another
+    run's iter_<N> model checkpoint — the natural-branch warmup handoff
+    used by the quality gate (scripts/validate_natural.py)."""
+    from arco_tpu.cli import train_arco_natural
+    from arco_tpu.train import checkpoint as ckpt
+
+    snap = str(tmp_path / "model")
+    small = ["--set", "K=2", "--set", "memobank_size=64",
+             "--set", "memobank_size_bg=64", "--set", "memobank_enqueue=16",
+             "--set", "num_queries=16", "--set", "num_negatives=8",
+             "--set", "topk=2"]
+    common = ["--root_path", pascal_root, "--dataset", "pascal",
+              "--label_num", "2", "--snapshot_dir", snap,
+              "--crop_size", "32", "--num_classes", "4",
+              "--batch_size", "2", "--log_every", "1"] + small
+    # warm run: 2 supervised-ish iterations, checkpointed
+    train_arco_natural.main(common + [
+        "--exp", "natural/warm", "--max_iterations", "2",
+        "--ckpt_every", "2", "--set", "k1=0", "--set", "k3=0",
+        "--set", "k4=0", "--set", "use_eqv_loss=false",
+        "--set", "compute_eqv=false"])
+    warm_dir = os.path.join(snap, "natural/warm_2_labeled", "unet")
+    warm_params, _ = ckpt.load_model_params(warm_dir, 2, None, None)
+
+    # handoff run: 1 iteration initialized from the warm checkpoint
+    train_arco_natural.main(common + [
+        "--exp", "natural/handoff", "--max_iterations", "1",
+        "--ckpt_every", "1", "--resume_snapshot", warm_dir])
+    hand_dir = os.path.join(snap, "natural/handoff_2_labeled", "unet")
+    assert any(d.startswith("iter_1") for d in os.listdir(hand_dir))
+
+    assert warm_params  # the warm checkpoint the handoff consumed
+
+    # a missing checkpoint dir fails loudly, not silently
+    with pytest.raises(SystemExit):
+        train_arco_natural.main(common + [
+            "--exp", "natural/bad", "--max_iterations", "1",
+            "--resume_snapshot", str(tmp_path / "nonexistent")])
