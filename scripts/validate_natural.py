@@ -41,6 +41,7 @@ N_TRAIN, N_VAL = 40, 8
 LABEL_NUM = 2
 ITERS = 600
 MECHANISM = "shifted"
+MODEL = "unet"
 
 
 def _striped_rgb(rng, theta_deg):
@@ -167,7 +168,7 @@ def run_arm(root, snap, arm, seed, warm_snapshot=None):
     exp = f"gate/{arm}_s{seed}"
     iters = WARM_ITERS if arm == "warm" else ITERS
     argv = ["--root_path", root, "--dataset", "pascal",
-            "--label_num", str(LABEL_NUM), "--model", "unet",
+            "--label_num", str(LABEL_NUM), "--model", MODEL,
             "--crop_size", str(HW), "--num_classes", str(K_CLS),
             "--batch_size", "4", "--max_iterations", str(iters),
             "--base_lr", "0.01", "--seed", str(seed),
@@ -179,13 +180,13 @@ def run_arm(root, snap, arm, seed, warm_snapshot=None):
         argv += ["--resume_snapshot", warm_snapshot]
     train_arco_natural.main(argv)
     if arm == "warm":
-        return os.path.join(snap, f"{exp}_{LABEL_NUM}_labeled", "unet")
+        return os.path.join(snap, f"{exp}_{LABEL_NUM}_labeled", MODEL)
 
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         eval_natural.main(
             ["--root_path", root, "--dataset", "pascal",
-             "--label_num", str(LABEL_NUM), "--model", "unet",
+             "--label_num", str(LABEL_NUM), "--model", MODEL,
              "--crop_size", str(HW), "--num_classes", str(K_CLS),
              "--snapshot_dir", snap, "--exp", exp,
              "--iteration", str(ITERS)])
@@ -201,14 +202,18 @@ def main():
     ap.add_argument("--iters", type=int, default=ITERS)
     ap.add_argument("--mechanism", choices=["shifted", "striped"],
                     default="shifted")
+    ap.add_argument("--model", default="unet",
+                    help="natural-branch model key (unet / deeplabv2 / "
+                         "deeplabv3)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     ITERS = args.iters
     globals()["MECHANISM"] = args.mechanism
+    globals()["MODEL"] = args.model
 
     import jax
     results = {"task": f"natural_{MECHANISM}", "hw": HW,
-               "n_train": N_TRAIN,
+               "model": MODEL, "n_train": N_TRAIN,
                "label_num": LABEL_NUM, "iters": ITERS,
                "warm_iters": WARM_ITERS,
                "backend": jax.devices()[0].platform, "runs": []}
