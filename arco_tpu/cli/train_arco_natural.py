@@ -143,6 +143,11 @@ def main(argv=None):
     tx = make_optimizer(args.base_lr, args.max_iterations)
 
     model_params = model_batch_stats = None
+    if args.resume_snapshot and args.restore_from:
+        raise SystemExit(
+            "--resume_snapshot and --restore_from both set: the torch "
+            "trunk restore would silently overwrite the warmup handoff; "
+            "pass exactly one initializer")
     if args.resume_snapshot:
         # warmup/stage handoff: seed the model (student AND EMA via
         # init_arco_state's copy) from another run's iter_<N> model

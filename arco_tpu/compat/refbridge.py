@@ -388,10 +388,13 @@ def _build_medpy():
 
 
 def _build_skimage():
-    """skimage.measure backed by scipy.ndimage (dataloaders/utils.py:6 and
-    test_util.py's largest-CC use only need measure.label / regionprops'
-    area ordering; scipy.ndimage.label matches skimage's default
-    1-connectivity for that purpose)."""
+    """skimage.measure backed by scipy.ndimage. The reference's call sites
+    (dataloaders/utils.py:199-208 post_processing, test_util.py:11-16
+    getLargestCC) need measure.label with return_num and
+    measure.regionprops' .area — provided here with skimage's DEFAULT
+    full connectivity (ndim-connectivity, i.e. a ones((3,)*ndim)
+    structure; scipy's own default is 1-connectivity, which would split
+    diagonally-touching components skimage merges)."""
     import types
 
     import numpy as _np
@@ -400,11 +403,24 @@ def _build_skimage():
     pkg = types.ModuleType("skimage")
     measure = types.ModuleType("skimage.measure")
 
-    def label(x, *a, **k):
-        out, _ = _ndi.label(_np.asarray(x))
-        return out
+    def label(x, return_num=False, connectivity=None, **k):
+        x = _np.asarray(x)
+        conn = connectivity if connectivity is not None else x.ndim
+        structure = _ndi.generate_binary_structure(x.ndim, conn)
+        out, num = _ndi.label(x, structure=structure)
+        return (out, num) if return_num else out
+
+    class _Region:
+        def __init__(self, lab, i):
+            self.label = i
+            self.area = int((lab == i).sum())
+
+    def regionprops(lab, **k):
+        lab = _np.asarray(lab)
+        return [_Region(lab, i) for i in range(1, int(lab.max()) + 1)]
 
     measure.label = label
+    measure.regionprops = regionprops
     pkg.measure = measure
     return {"skimage": pkg, "skimage.measure": measure}
 

@@ -99,12 +99,17 @@ def make_fixture(root, seed):
     Appearance regime calibrated like the committed 2D 'shifted' gate
     (quality_gate/README.md cal1-cal4): one-sided brighter-only gains so
     SNR never drops below canon (dimmer-side shift is ill-posed — class
-    levels collapse into each other and BOTH arms fail), the first
-    LABEL_NUM train images pinned at canonical appearance (they are the
-    class-balanced labeled picks at label_num=2), and VAL drawn from the
-    SAME distribution the unlabeled stream spans — a val band disjoint
-    from the unlabeled support cannot be bridged by any semi-supervised
-    mechanism (the first committed run's -0.138 design flaw #2)."""
+    levels collapse into each other and BOTH arms fail), and VAL drawn
+    from the SAME distribution the unlabeled stream spans — a val band
+    disjoint from the unlabeled support cannot be bridged by any
+    semi-supervised mechanism (the first committed run's -0.138 design
+    flaw #2). The first LABEL_NUM train images are written at canonical
+    appearance as a BEST-EFFORT pin only: the trainer's
+    class_balanced_idx draws the labeled picks from a seeded permutation
+    (data/natural.py), so the actual labeled images are usually two
+    RANDOM-appearance samples — still far too few to span the
+    orientation/appearance range, which is what the gate's validity
+    actually rests on (and what the measured +0.19 striped gap shows)."""
     rng = np.random.RandomState(seed)
     os.makedirs(os.path.join(root, "JPEGImages"))
     os.makedirs(os.path.join(root, "SegmentationClassAug"))
@@ -249,7 +254,11 @@ def main():
     print(json.dumps(results["summary"]))
     if args.out:
         os.makedirs(args.out, exist_ok=True)
-        path = os.path.join(args.out, "quality_gate_natural.json")
+        name = ("quality_gate_natural.json" if MECHANISM == "striped"
+                and MODEL == "unet"
+                else f"quality_gate_natural_{MECHANISM}"
+                + ("" if MODEL == "unet" else f"_{MODEL}") + ".json")
+        path = os.path.join(args.out, name)
         with open(path, "w") as f:
             json.dump(results, f, indent=1)
         print(f"wrote {path}")

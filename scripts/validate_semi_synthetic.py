@@ -429,9 +429,15 @@ def run_seed(task, seed, dtype, arms=("sup", "arco"), n_tune=N_TUNE,
         # quirk), no photometric / adv-morph (the reference's 3D
         # batch_transform is a passthrough, augment_3d.py:209-226, and
         # AdvMorph is a 2D velocity-field warp), randn memobank rows
+        # compute_eqv=False matches the SHIPPED 3D trainer's steady-state
+        # step: cli/train_arco_3d.py defaults to eqv_on_log_only (round 5)
+        # because the every-step eqv forward's only training effect is a
+        # BN-stat nudge measured to hurt end Dice
+        # (ref_parity/trajectory_3d_arco_noeqv.json)
         arco_cfg = dataclasses.replace(
-            arco_cfg, use_eqv_loss=False, use_photometric=False,
-            use_adv_morph=False, memobank_init="randn")
+            arco_cfg, use_eqv_loss=False, compute_eqv=False,
+            use_photometric=False, use_adv_morph=False,
+            memobank_init="randn")
 
     warm_p, warm_s, model = run(sup_cfg, f"[s{seed}] warmup", n_warm,
                                 img_l, lab_l, img_u, dtype, seed=seed)
@@ -513,6 +519,10 @@ def main():
     if args.task in ("shifted3d", "noisy3d"):
         results["vol"] = list(VOL)
         results["batch"] = [B3_L, B3 - B3_L]
+    if args.task == "noisy3d":
+        results["noise_sigma"] = NOISE3D
+        results["labeled_volumes"] = LABELED3D
+        results["n_labeled"] = LABELED3D
     for s in args.seeds:
         results["runs"].append(run_seed(args.task, s, dtype,
                                         arms=tuple(args.arms),
@@ -538,6 +548,33 @@ def main():
         with open(os.path.join(args.out, name), "w") as f:
             json.dump(results, f, indent=1)
         print(f"wrote {args.out}/{name}")
+        # the confmask mitigation gate gets its OWN pinned-schema artifact
+        # (tests/test_quality_gate.py FAMILIES['noisy3d_confmask']): the
+        # confmask arm plays the 'arco' role, gain is vs supervised-only
+        if all("arco_confmask_dice" in r and "supervised_dice" in r
+               for r in results["runs"]):
+            cm = dict(results)
+            cm["task"] = f"{args.task}_confmask"
+            cm["runs"] = [
+                {"seed": r["seed"], "warmup_dice": r["warmup_dice"],
+                 "supervised_dice": r["supervised_dice"],
+                 "ref_formula_arco_dice": r.get("arco_dice"),
+                 "arco_dice": r["arco_confmask_dice"],
+                 "gain": round(r["arco_confmask_dice"]
+                               - r["supervised_dice"], 4)}
+                for r in results["runs"]]
+            gains = [r["gain"] for r in cm["runs"]]
+            cm["summary"] = {
+                "mean_supervised": round(float(np.mean(
+                    [r["supervised_dice"] for r in cm["runs"]])), 4),
+                "mean_arco": round(float(np.mean(
+                    [r["arco_dice"] for r in cm["runs"]])), 4),
+                "mean_gain": round(float(np.mean(gains)), 4),
+                "min_gain": round(float(np.min(gains)), 4)}
+            cname = f"quality_gate_{args.task}_confmask.json"
+            with open(os.path.join(args.out, cname), "w") as f:
+                json.dump(cm, f, indent=1)
+            print(f"wrote {args.out}/{cname}")
 
 
 if __name__ == "__main__":
